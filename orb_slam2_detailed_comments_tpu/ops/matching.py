@@ -1,0 +1,281 @@
+"""Batched descriptor matching kernels.
+
+TPU-native replacement for ORBmatcher (reference: src/ORBmatcher.cc). The
+reference's 9 entry points all share one skeleton — generate candidate
+pairs, Hamming-score them, best/second-best ratio test, rotation-histogram
+consistency — differing only in the candidate policy (grid window,
+projection window + predicted scale, BoW node, epipolar line). On TPU we
+compute the full masked distance matrix on the MXU (a 2048x256 @ 256x2048
++-1 matmul is ~2 GFLOP — microseconds) and express every candidate policy
+as a boolean mask. No grids, no buckets, no pointer chasing.
+
+All functions are jit-safe with static capacities and validity masks.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .hamming import hamming_distance_matrix
+
+INF_DIST = 1 << 20
+TH_LOW = 50     # reference: ORBmatcher.cc:49
+TH_HIGH = 100   # reference: ORBmatcher.cc:50
+HISTO_BINS = 30  # reference: ORBmatcher.cc:51
+
+
+class MatchResult(NamedTuple):
+    idx: jnp.ndarray   # (A,) int32 best match in B for each A (undefined if !ok)
+    dist: jnp.ndarray  # (A,) int32 best Hamming distance
+    ok: jnp.ndarray    # (A,) bool
+
+
+def masked_best_match(dist, mask, max_dist: int, ratio: float = 0.0,
+                      ratio_same_level_only=None, octave_b=None):
+    """Best + second-best search over a masked distance matrix.
+
+    dist: (A, B) int32; mask: (A, B) bool candidates.
+    ratio: if > 0, require best < ratio * second_best (reference's
+      mfNNratio test, ORBmatcher.cc:560-566).
+    ratio_same_level_only: if given with octave_b, apply the ratio test
+      only when best and second-best share an octave (reference
+      SearchByProjection for the local map, ORBmatcher.cc:165-171).
+    """
+    d = jnp.where(mask, dist, INF_DIST)
+    best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
+    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(INF_DIST)
+    second_idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    second = jnp.take_along_axis(d2, second_idx[:, None], axis=1)[:, 0]
+
+    ok = best <= max_dist
+    if ratio > 0.0:
+        pass_ratio = best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+        if ratio_same_level_only and octave_b is not None:
+            same_level = octave_b[best_idx] == octave_b[second_idx]
+            pass_ratio = pass_ratio | (~same_level) | (second >= INF_DIST)
+        else:
+            pass_ratio = pass_ratio | (second >= INF_DIST)
+        ok = ok & pass_ratio
+    return MatchResult(idx=best_idx, dist=best.astype(jnp.int32), ok=ok)
+
+
+def resolve_duplicate_targets(match: MatchResult, n_targets: int):
+    """Keep at most one source per target: the one with the smallest
+    distance (reference resolves these with per-kp bookkeeping, e.g.
+    ORBmatcher.cc:628-648). Ties broken by source index."""
+    a = match.idx.shape[0]
+    src_ids = jnp.arange(a, dtype=jnp.int32)
+    key = jnp.where(match.ok, match.dist * a + src_ids, INF_DIST * a)
+    best_key = jnp.full((n_targets,), INF_DIST * a, dtype=key.dtype).at[match.idx].min(key)
+    keep = match.ok & (key == best_key[match.idx])
+    return MatchResult(idx=match.idx, dist=match.dist, ok=keep)
+
+
+def rotation_consistency(angle_a, angle_b_of_match, ok, top_k: int = 3):
+    """Rotation-histogram filter (reference: ORBmatcher::ComputeThreeMaxima,
+    ORBmatcher.cc:2026-2068): keep only matches whose angle difference falls
+    in the top-3 most-populated of 30 bins; bins 2-3 are dropped when they
+    hold < 10% of the max bin."""
+    two_pi = 2.0 * jnp.pi
+    diff = jnp.mod(angle_a - angle_b_of_match, two_pi)
+    bins = jnp.clip((diff * (HISTO_BINS / two_pi)).astype(jnp.int32), 0, HISTO_BINS - 1)
+    hist = jnp.zeros((HISTO_BINS,), jnp.int32).at[bins].add(ok.astype(jnp.int32))
+    top_vals, top_idx = jax.lax.top_k(hist, top_k)
+    keep_bin = jnp.zeros((HISTO_BINS,), bool)
+    keep_bin = keep_bin.at[top_idx[0]].set(True)
+    for i in range(1, top_k):
+        keep_bin = keep_bin.at[top_idx[i]].set(top_vals[i].astype(jnp.float32) >= 0.1 * top_vals[0].astype(jnp.float32))
+    return ok & keep_bin[bins]
+
+
+# ---------------------------------------------------------------------------
+# Frame-to-frame / brute-force matching (replaces SearchByBoW's role:
+# the BoW-node restriction is a CPU shortcut; full masked matmul is faster
+# on the MXU).  reference: ORBmatcher.cc:248-419 (KF<->Frame), :724-876.
+# ---------------------------------------------------------------------------
+
+def match_descriptors(desc_a, valid_a, desc_b, valid_b, angle_a=None, angle_b=None,
+                      max_dist: int = TH_LOW, ratio: float = 0.75,
+                      check_rotation: bool = True, mask_extra=None):
+    """Generic all-pairs matcher A->B with ratio + rotation filters.
+
+    Returns MatchResult over A (deduplicated per target in B).
+    """
+    dist = hamming_distance_matrix(desc_a, desc_b)
+    mask = valid_a[:, None] & valid_b[None, :]
+    if mask_extra is not None:
+        mask = mask & mask_extra
+    m = masked_best_match(dist, mask, max_dist, ratio)
+    if check_rotation and angle_a is not None and angle_b is not None:
+        m = MatchResult(m.idx, m.dist, rotation_consistency(angle_a, angle_b[m.idx], m.ok))
+    return resolve_duplicate_targets(m, desc_b.shape[0])
+
+
+def search_for_initialization(xy_a, desc_a, valid_a, octave_a, angle_a,
+                              xy_b, desc_b, valid_b, octave_b, angle_b,
+                              window: float = 100.0, ratio: float = 0.9):
+    """Windowed level-0 matching for monocular initialization
+    (reference: ORBmatcher::SearchForInitialization, ORBmatcher.cc:570-722:
+    radius-100 window around the level-0 keypoints, ratio 0.9, TH_LOW,
+    rotation check)."""
+    du = jnp.abs(xy_a[:, None, 0] - xy_b[None, :, 0])
+    dv = jnp.abs(xy_a[:, None, 1] - xy_b[None, :, 1])
+    mask = (
+        valid_a[:, None] & valid_b[None, :]
+        & (octave_a[:, None] == 0) & (octave_b[None, :] == 0)
+        & (du <= window) & (dv <= window)
+    )
+    dist = hamming_distance_matrix(desc_a, desc_b)
+    m = masked_best_match(dist, mask, TH_LOW, ratio)
+    m = MatchResult(m.idx, m.dist, rotation_consistency(angle_a, angle_b[m.idx], m.ok))
+    return resolve_duplicate_targets(m, desc_b.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Projection-guided matching (replaces SearchByProjection overloads (a)-(d),
+# reference: ORBmatcher.cc:69-184 local map, :1702-1880 last frame).
+# ---------------------------------------------------------------------------
+
+def predict_scale_level(dist, max_dist, n_levels: int, log_scale: float):
+    """MapPoint::PredictScale (reference: src/MapPoint.cc:676-721):
+    level = ceil(log(max_dist / dist) / log(scaleFactor)), clipped."""
+    ratio = max_dist / jnp.maximum(dist, 1e-9)
+    lvl = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_scale).astype(jnp.int32)
+    return jnp.clip(lvl, 0, n_levels - 1)
+
+
+class ProjectedPoints(NamedTuple):
+    uv: jnp.ndarray         # (P, 2) projected pixel coords
+    ur: jnp.ndarray         # (P,) right-image u (stereo) or 0
+    depth: jnp.ndarray      # (P,) camera-frame z
+    pred_level: jnp.ndarray  # (P,) predicted octave
+    view_cos: jnp.ndarray   # (P,) cos(viewing angle)
+    visible: jnp.ndarray    # (P,) bool frustum + scale + viewcos test
+
+
+def project_and_cull(pts_w, valid, normals, min_dist, max_dist, Tcw, cam,
+                     n_levels: int, log_scale: float, view_cos_limit: float = 0.5,
+                     margin: float = 0.0):
+    """Frame::isInFrustum for a batch of map points
+    (reference: src/Frame.cc:529-620)."""
+    R = Tcw[:3, :3]
+    t = Tcw[:3, 3]
+    pc = pts_w @ R.T + t
+    z = pc[:, 2]
+    uv = jnp.stack([cam.fx * pc[:, 0] / jnp.maximum(z, 1e-9) + cam.cx,
+                    cam.fy * pc[:, 1] / jnp.maximum(z, 1e-9) + cam.cy], axis=-1)
+    ur = uv[:, 0] - cam.bf / jnp.maximum(z, 1e-9)
+    Ow = -R.T @ t
+    po = pts_w - Ow
+    dist = jnp.linalg.norm(po, axis=-1)
+    view_cos = jnp.sum(po * normals, axis=-1) / jnp.maximum(dist, 1e-9)
+    visible = (
+        valid
+        & (z > 0.0)
+        & (uv[:, 0] >= -margin) & (uv[:, 0] < cam.width + margin)
+        & (uv[:, 1] >= -margin) & (uv[:, 1] < cam.height + margin)
+        & (dist >= 0.8 * min_dist) & (dist <= 1.2 * max_dist)
+        & (view_cos > view_cos_limit)
+    )
+    lvl = predict_scale_level(dist, max_dist, n_levels, log_scale)
+    return ProjectedPoints(uv=uv, ur=ur, depth=z, pred_level=lvl,
+                           view_cos=view_cos, visible=visible)
+
+
+def search_by_projection(proj: ProjectedPoints, desc_p, kp_xy, kp_ur, desc_k,
+                         valid_k, octave_k, scale_factors, th: float = 1.0,
+                         max_dist: int = TH_HIGH, ratio: float = 0.8,
+                         check_stereo: bool = False, level_window: int = 1):
+    """Match projected map points to frame keypoints within a scale-dependent
+    window (reference: ORBmatcher::SearchByProjection local-map overload,
+    ORBmatcher.cc:69-184). Radius follows RadiusByViewingCos (2.5 if
+    viewCos > 0.998 else 4.0, :190-199) times th times the predicted
+    level's scale factor.
+
+    scale_factors: (n_levels,) array of scaleFactor**level.
+    Returns MatchResult over points P (targets = keypoints, deduplicated).
+    """
+    base_r = jnp.where(proj.view_cos > 0.998, 2.5, 4.0) * th
+    r = base_r * scale_factors[proj.pred_level]  # (P,)
+    du = jnp.abs(proj.uv[:, None, 0] - kp_xy[None, :, 0])
+    dv = jnp.abs(proj.uv[:, None, 1] - kp_xy[None, :, 1])
+    lvl_lo = proj.pred_level - level_window
+    lvl_hi = proj.pred_level + level_window
+    mask = (
+        proj.visible[:, None] & valid_k[None, :]
+        & (du <= r[:, None]) & (dv <= r[:, None])
+        & (octave_k[None, :] >= lvl_lo[:, None]) & (octave_k[None, :] <= lvl_hi[:, None])
+    )
+    if check_stereo:
+        dur = jnp.abs(proj.ur[:, None] - kp_ur[None, :])
+        has_stereo = kp_ur[None, :] >= 0
+        mask = mask & (jnp.where(has_stereo, dur, 0.0) <= r[:, None])
+    dist = hamming_distance_matrix(desc_p, desc_k)
+    m = masked_best_match(dist, mask, max_dist, ratio, ratio_same_level_only=True, octave_b=octave_k)
+    return resolve_duplicate_targets(m, kp_xy.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Epipolar-constrained matching for triangulation
+# (reference: ORBmatcher::SearchForTriangulation, ORBmatcher.cc:879-1096,
+#  with CheckDistEpipolarLine :206-233).
+# ---------------------------------------------------------------------------
+
+def search_for_triangulation(xy1, desc1, valid1, octave1, angle1, has_mp1,
+                             xy2, desc2, valid2, octave2, angle2, has_mp2,
+                             F12, epipole2_uv, sigma2_levels,
+                             check_rotation: bool = True):
+    """Match unmatched keypoints of KF1 to KF2 along the epipolar line.
+
+    F12: (3,3) fundamental matrix mapping KF1 pixels to epipolar lines in
+    KF2. epipole2_uv: (2,) projection of KF1's center in KF2 (candidates
+    too close to it are rejected, reference :975-984).
+    sigma2_levels: (n_levels,) per-level sigma^2.
+    """
+    ones = jnp.ones_like(xy1[:, :1])
+    x1h = jnp.concatenate([xy1, ones], axis=-1)  # (N1, 3)
+    lines = x1h @ F12.T  # (N1, 3) epipolar lines in image 2
+    a, b, c = lines[:, 0:1], lines[:, 1:2], lines[:, 2:3]
+    num = a * xy2[None, :, 0] + b * xy2[None, :, 1] + c  # (N1, N2)
+    den2 = a * a + b * b
+    dsq = num * num / jnp.maximum(den2, 1e-12)
+    # chi2 threshold 3.84 * sigma^2 of the *observation* level (reference :228-232)
+    th = 3.84 * sigma2_levels[octave2][None, :]
+    epi_ok = dsq < th
+
+    # reject kp2 near the epipole (radius ~ 100*scale of kp2's level? the
+    # reference uses 100 sigma2 on the squared distance :981)
+    de = jnp.sum((xy2 - epipole2_uv[None, :]) ** 2, axis=-1)
+    far_from_epipole = de >= 100.0 * sigma2_levels[octave2]
+
+    mask = (
+        valid1[:, None] & valid2[None, :]
+        & (~has_mp1)[:, None] & (~has_mp2)[None, :]
+        & epi_ok & far_from_epipole[None, :]
+    )
+    dist = hamming_distance_matrix(desc1, desc2)
+    m = masked_best_match(dist, mask, TH_LOW, 0.0)
+    if check_rotation:
+        m = MatchResult(m.idx, m.dist, rotation_consistency(angle1, angle2[m.idx], m.ok))
+    return resolve_duplicate_targets(m, xy2.shape[0])
+
+
+def compute_fundamental(Tcw1, Tcw2, K1, K2):
+    """F12 from two world-to-camera poses (reference:
+    LocalMapping::ComputeF12, src/LocalMapping.cc:835-855)."""
+    R1, t1 = Tcw1[:3, :3], Tcw1[:3, 3]
+    R2, t2 = Tcw2[:3, :3], Tcw2[:3, 3]
+    R12 = R1 @ R2.T
+    t12 = -R12 @ t2 + t1
+    tx = jnp.array([
+        [0.0, -t12[2], t12[1]],
+        [t12[2], 0.0, -t12[0]],
+        [-t12[1], t12[0], 0.0],
+    ])
+    K1i = jnp.linalg.inv(K1)
+    K2i = jnp.linalg.inv(K2)
+    return K1i.T @ tx @ R12 @ K2i

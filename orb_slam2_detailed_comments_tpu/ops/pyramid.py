@@ -1,0 +1,93 @@
+"""Image pyramid + Gaussian blur.
+
+Replaces ORBextractor::ComputePyramid (reference: src/ORBextractor.cc:2093-2168)
+and the 7x7 sigma=2 GaussianBlur applied before descriptor sampling
+(reference: src/ORBextractor.cc:2023). TPU-first: every level is computed
+with XLA conv/resize ops; all shapes are static per (H, W, n_levels).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _gauss_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
+    r = ksize // 2
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    return k.astype(np.float32)
+
+
+def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
+    """Separable Gaussian blur of a (H, W) float32 image (reflect padding,
+    matching cv::GaussianBlur's BORDER_REFLECT_101 default)."""
+    k = jnp.asarray(_gauss_kernel_1d(ksize, sigma))
+    r = ksize // 2
+    x = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
+    # horizontal then vertical 1D convs via conv_general_dilated on NCHW
+    x = x[None, None, :, :]
+    kh = k[None, None, None, :]
+    kv = k[None, None, :, None]
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID")
+    return x[0, 0]
+
+
+@functools.lru_cache(maxsize=None)
+def pyramid_shapes(height: int, width: int, n_levels: int, scale_factor: float) -> Tuple[Tuple[int, int], ...]:
+    """Static per-level (H, W), scale = scale_factor**level (reference:
+    ORBextractor.cc:2105-2109 rounds the scaled size)."""
+    shapes = []
+    for lv in range(n_levels):
+        inv = 1.0 / (scale_factor ** lv)
+        shapes.append((int(round(height * inv)), int(round(width * inv))))
+    return tuple(shapes)
+
+
+def _resize_bilinear(img, out_hw):
+    return jax.image.resize(img, out_hw, method="linear")
+
+
+def build_pyramid(img, n_levels: int = 8, scale_factor: float = 1.2) -> List[jnp.ndarray]:
+    """Build the scale pyramid of a (H, W) float32 image.
+
+    The reference resizes level-to-level with INTER_LINEAR
+    (ORBextractor.cc:2130). We resize from the previous level too (not from
+    level 0) so the anti-aliasing accumulation matches.
+    """
+    levels = [img]
+    shapes = pyramid_shapes(img.shape[0], img.shape[1], n_levels, scale_factor)
+    for lv in range(1, n_levels):
+        levels.append(_resize_bilinear(levels[-1], shapes[lv]))
+    return levels
+
+
+def level_scales(n_levels: int = 8, scale_factor: float = 1.2):
+    """(scale, inv_scale, sigma2, inv_sigma2) per level as np arrays
+    (reference: ORBextractor.cc constructor :784-806)."""
+    s = np.array([scale_factor ** i for i in range(n_levels)], dtype=np.float32)
+    return s, 1.0 / s, s * s, 1.0 / (s * s)
+
+
+def features_per_level(n_features: int, n_levels: int = 8, scale_factor: float = 1.2) -> np.ndarray:
+    """Geometric feature budget per level (reference: ORBextractor.cc:826-845
+    — desired features scale by 1/scaleFactor per level, remainder to the
+    last level)."""
+    factor = 1.0 / scale_factor
+    n_desired = n_features * (1 - factor) / (1 - factor ** n_levels)
+    counts = []
+    total = 0
+    for lv in range(n_levels - 1):
+        c = int(round(n_desired))
+        counts.append(c)
+        total += c
+        n_desired *= factor
+    counts.append(max(n_features - total, 0))
+    return np.asarray(counts, dtype=np.int32)

@@ -1,0 +1,174 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam2_detailed_comments_tpu.ops.fast import fast_score_map, nms_3x3
+from orb_slam2_detailed_comments_tpu.ops.hamming import (
+    hamming_distance_matrix, hamming_distance_pairs, pack_bits, unpack_bits_pm1,
+)
+from orb_slam2_detailed_comments_tpu.ops.orb import extract_orb
+from orb_slam2_detailed_comments_tpu.ops.pyramid import build_pyramid, features_per_level
+from orb_slam2_detailed_comments_tpu.utils.config import OrbConfig
+
+
+def checkerboard(h=240, w=320, sq=24):
+    ys, xs = np.mgrid[0:h, 0:w]
+    img = (((ys // sq) + (xs // sq)) % 2) * 200.0 + 30.0
+    return img.astype(np.float32)
+
+
+def textured_image(h=240, w=320, seed=0, n_blobs=120):
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w), 40.0, np.float32)
+    for _ in range(n_blobs):
+        y, x = rng.integers(10, h - 10), rng.integers(10, w - 10)
+        s = rng.integers(3, 9)
+        img[y:y + s, x:x + s] = rng.uniform(90, 250)
+    return img
+
+
+class TestFast:
+    def test_detects_square_corners(self):
+        img = np.full((64, 64), 50.0, np.float32)
+        img[20:44, 20:44] = 200.0
+        score = nms_3x3(fast_score_map(jnp.asarray(img), 20.0))
+        s = np.asarray(score)
+        ys, xs = np.nonzero(s)
+        assert len(ys) >= 4
+        # all detections should be near the 4 corners of the square
+        corners = np.array([[20, 20], [20, 43], [43, 20], [43, 43]])
+        for y, x in zip(ys, xs):
+            d = np.min(np.linalg.norm(corners - np.array([y, x]), axis=1))
+            assert d < 4.0, (y, x)
+
+    def test_flat_image_no_corners(self):
+        img = jnp.full((64, 64), 100.0)
+        score = fast_score_map(img, 7.0)
+        assert float(jnp.sum(score > 0)) == 0
+
+    def test_nms_keeps_single_peak(self):
+        s = np.zeros((32, 32), np.float32)
+        s[10, 10] = 5.0
+        s[10, 11] = 4.0
+        out = np.asarray(nms_3x3(jnp.asarray(s)))
+        assert out[10, 10] == 5.0
+        assert out[10, 11] == 0.0
+
+
+class TestHamming:
+    def test_matmul_equals_popcount(self):
+        rng = np.random.default_rng(1)
+        a = jnp.asarray(rng.integers(0, 2**32, (65, 8), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 2**32, (130, 8), dtype=np.uint32))
+        d1 = hamming_distance_matrix(a, b, method="popcount")
+        d2 = hamming_distance_matrix(a, b, method="matmul")
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    def test_identity_zero(self):
+        rng = np.random.default_rng(2)
+        a = jnp.asarray(rng.integers(0, 2**32, (16, 8), dtype=np.uint32))
+        d = hamming_distance_pairs(a, a)
+        np.testing.assert_array_equal(np.asarray(d), 0)
+
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.default_rng(3)
+        desc = jnp.asarray(rng.integers(0, 2**32, (32, 8), dtype=np.uint32))
+        pm1 = unpack_bits_pm1(desc)
+        bits = (pm1 > 0).astype(jnp.uint32)
+        desc2 = pack_bits(bits)
+        np.testing.assert_array_equal(np.asarray(desc2), np.asarray(desc))
+
+
+class TestPyramid:
+    def test_level_budgets_sum(self):
+        b = features_per_level(1000, 8, 1.2)
+        assert b.sum() == 1000
+        assert (b[:-1][1:] <= b[:-1][:-1]).all()  # decreasing
+
+    def test_pyramid_shapes(self):
+        img = jnp.asarray(checkerboard())
+        lv = build_pyramid(img, 8, 1.2)
+        assert len(lv) == 8
+        assert lv[0].shape == (240, 320)
+        assert lv[1].shape == (int(round(240 / 1.2)), int(round(320 / 1.2)))
+
+
+class TestExtractor:
+    CFG = OrbConfig(n_features=500, max_keypoints=1024)
+
+    def test_extract_basic(self):
+        img = jnp.asarray(textured_image())
+        kp = extract_orb(img, self.CFG)
+        v = np.asarray(kp.valid)
+        assert v.sum() > 200, f"only {v.sum()} keypoints"
+        xy = np.asarray(kp.xy)[v]
+        assert (xy[:, 0] >= 0).all() and (xy[:, 0] < 320).all()
+        assert (xy[:, 1] >= 0).all() and (xy[:, 1] < 240).all()
+        # descriptors should be non-trivial
+        desc = np.asarray(kp.desc)[v]
+        assert (desc.sum(axis=1) > 0).all()
+        oct_ = np.asarray(kp.octave)[v]
+        assert oct_.min() == 0 and oct_.max() < 8
+
+    def test_spatial_coverage(self):
+        # blobs spread over the image -> keypoints should cover all quadrants
+        img = jnp.asarray(textured_image(seed=5))
+        kp = extract_orb(img, self.CFG)
+        v = np.asarray(kp.valid)
+        xy = np.asarray(kp.xy)[v]
+        for qx in (0, 1):
+            for qy in (0, 1):
+                cnt = np.sum((xy[:, 0] >= qx * 160) & (xy[:, 0] < (qx + 1) * 160)
+                             & (xy[:, 1] >= qy * 120) & (xy[:, 1] < (qy + 1) * 120))
+                assert cnt > 20, f"quadrant {qx},{qy} has {cnt} keypoints"
+
+    def test_descriptor_repeatability_translation(self):
+        # same content shifted by 8px -> matched descriptors should be close
+        base = textured_image(seed=7)
+        img1 = base[:-8, :-8]
+        img2 = base[8:, 8:]
+        kp1 = extract_orb(jnp.asarray(img1), self.CFG)
+        kp2 = extract_orb(jnp.asarray(img2), self.CFG)
+        v1, v2 = np.asarray(kp1.valid), np.asarray(kp2.valid)
+        xy1 = np.asarray(kp1.xy)[v1]
+        xy2 = np.asarray(kp2.xy)[v2] + 8.0  # img2 coords shifted back
+        d1 = np.asarray(kp1.desc)[v1]
+        d2 = np.asarray(kp2.desc)[v2]
+        o1 = np.asarray(kp1.octave)[v1]
+        o2 = np.asarray(kp2.octave)[v2]
+        # nearest spatial neighbors restricted to the same octave (a
+        # translated image re-detects the same corner at the same level;
+        # cross-level pairs legitimately have unrelated descriptors)
+        dists = np.linalg.norm(xy1[:, None] - xy2[None, :], axis=-1)
+        dists[o1[:, None] != o2[None, :]] = 1e9
+        nn = dists.argmin(axis=1)
+        spatial_ok = dists[np.arange(len(nn)), nn] < 1.5
+        assert spatial_ok.sum() > 50
+        dh = np.asarray(hamming_distance_pairs(jnp.asarray(d1[spatial_ok]), jnp.asarray(d2[nn[spatial_ok]])))
+        # matched descriptors far below random (128)
+        assert np.median(dh) < 40, f"median hamming {np.median(dh)}"
+
+    def test_rotation_invariance(self):
+        pytest.importorskip("scipy")
+        from scipy.ndimage import rotate
+        base = textured_image(seed=9, n_blobs=80)
+        ang = 30.0
+        rot = rotate(base, ang, reshape=False, order=1, mode="nearest").astype(np.float32)
+        kp1 = extract_orb(jnp.asarray(base), self.CFG)
+        kp2 = extract_orb(jnp.asarray(rot), self.CFG)
+        v1, v2 = np.asarray(kp1.valid), np.asarray(kp2.valid)
+        xy1 = np.asarray(kp1.xy)[v1]
+        d1 = np.asarray(kp1.desc)[v1]
+        xy2 = np.asarray(kp2.xy)[v2]
+        d2 = np.asarray(kp2.desc)[v2]
+        # map kp1 into rotated frame (rotate about image center by -ang)
+        c = np.array([320 / 2 - 0.5, 240 / 2 - 0.5])
+        th = np.deg2rad(ang)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        xy1r = (xy1 - c) @ R.T + c
+        dists = np.linalg.norm(xy1r[:, None] - xy2[None, :], axis=-1)
+        nn = dists.argmin(axis=1)
+        ok = dists[np.arange(len(nn)), nn] < 2.0
+        assert ok.sum() > 30
+        dh = np.asarray(hamming_distance_pairs(jnp.asarray(d1[ok]), jnp.asarray(d2[nn[ok]])))
+        assert np.median(dh) < 64, f"median hamming under rotation {np.median(dh)}"
