@@ -1,0 +1,518 @@
+"""Local mapping stage.
+
+TPU-native replacement for the LocalMapping thread
+(reference: src/LocalMapping.cc). The reference's queue+mutex thread loop
+becomes a synchronous stage invoked per new keyframe (a deterministic
+pipeline; async dispatch can wrap this without changing the math):
+
+  on_new_keyframe
+  ├─ MapPointCulling          (reference :280-327)
+  ├─ CreateNewMapPoints       (reference :336-680) — per covisible neighbor,
+  │    one epipolar-matching kernel + one batched triangulation/gating pass
+  ├─ SearchInNeighbors fuse   (reference :688-832) — batched projection fuse
+  ├─ local BA                 (optim.local_ba, Schur dense path)
+  └─ KeyFrameCulling          (reference :966-1082)
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry.triangulate import triangulate_dlt
+from ..ops import matching as M
+from ..optim.local_ba import BAProblem, local_bundle_adjustment
+from ..optim.global_ba import global_bundle_adjustment
+from ..state.map_store import MapStore
+from ..utils.config import SlamConfig
+
+# static capacities for the local-BA device problem
+BA_CAM_CAP = 64
+BA_PT_CAP = 16384
+BA_EDGE_CAP = 49152
+
+
+class LocalMapper:
+    def __init__(self, config: SlamConfig, map_store: MapStore, monocular: bool,
+                 loop_closer=None):
+        self.config = config
+        self.map = map_store
+        self.monocular = monocular
+        self.loop_closer = loop_closer
+        self.recent_points: List[int] = []  # candidates for culling
+        self.scale_factors = np.array(
+            [config.orb.scale_factor ** i for i in range(config.orb.n_levels)], np.float32)
+        self.inv_sigma2 = (1.0 / self.scale_factors ** 2).astype(np.float32)
+        self.log_scale = float(np.log(config.orb.scale_factor))
+        self.kf_counter = 0
+
+    def reset(self):
+        self.recent_points.clear()
+        self.kf_counter = 0
+
+    # ------------------------------------------------------------------
+
+    def on_new_keyframe(self, kf: int, run_ba: bool = True):
+        self.kf_counter += 1
+        # new points created at KF creation join the culling watchlist
+        fresh = self.map.kf_mp[kf]
+        fresh = fresh[fresh >= 0]
+        fresh = fresh[self.map.mp_first_kf[fresh] == kf]
+        self.recent_points.extend(int(m) for m in fresh)
+
+        self._map_point_culling(kf)
+        self._create_new_map_points(kf)
+        self._search_in_neighbors(kf)
+        if run_ba and self.map.n_keyframes() > 2:
+            self.local_ba(kf)
+        self._keyframe_culling(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.on_new_keyframe(kf)
+
+    # ------------------------------------------------------------------
+
+    def _map_point_culling(self, cur_kf: int):
+        """reference: LocalMapping::MapPointCulling (LocalMapping.cc:280-327)."""
+        th_obs = 2 if self.monocular else 3
+        keep: List[int] = []
+        for m in self.recent_points:
+            if not self.map.mp_valid[m]:
+                continue
+            first = self.map.mp_first_kf[m]
+            age = cur_kf - first
+            if self.map.found_ratio([m])[0] < 0.25:
+                self.map.erase_map_point(m)
+            elif age >= 2 and self.map.mp_n_obs[m] <= th_obs:
+                self.map.erase_map_point(m)
+            elif age >= 3:
+                pass  # graduated
+            else:
+                keep.append(m)
+        self.recent_points = keep
+
+    # ------------------------------------------------------------------
+
+    def _create_new_map_points(self, kf: int):
+        """reference: LocalMapping::CreateNewMapPoints (LocalMapping.cc:336-680)."""
+        mp = self.map
+        cfg = self.config
+        cam = cfg.camera
+        n_neighbors = 20 if self.monocular else 10
+        neighbors = mp.get_covisible(kf, n_neighbors)
+        if neighbors.size == 0:
+            return
+
+        T1 = mp.kf_Tcw[kf]
+        O1 = mp.kf_camera_center(kf)
+        K = np.asarray(cam.K)
+        has_mp1 = mp.kf_mp[kf] >= 0
+        ratio_factor = 1.5 * cfg.orb.scale_factor
+        sigma2 = (self.scale_factors ** 2).astype(np.float32)
+
+        for kf2 in neighbors:
+            T2 = mp.kf_Tcw[kf2]
+            O2 = mp.kf_camera_center(kf2)
+            baseline = float(np.linalg.norm(O2 - O1))
+            if not self.monocular:
+                if baseline < cam.baseline:  # reference :370-377
+                    continue
+            else:
+                # baseline vs scene depth (reference :380-392)
+                mps2 = mp.kf_mp[kf2]
+                mps2 = mps2[mps2 >= 0]
+                mps2 = mps2[mp.mp_valid[mps2]]
+                if mps2.size == 0:
+                    continue
+                z = (mp.mp_pos[mps2] @ T2[:3, :3].T + T2[:3, 3])[:, 2]
+                med_depth = float(np.median(z))
+                if med_depth <= 0 or baseline / med_depth < 0.01:
+                    continue
+
+            F12 = M.compute_fundamental(jnp.asarray(T1), jnp.asarray(T2), jnp.asarray(K), jnp.asarray(K))
+            # epipole of cam1 in image 2
+            pc = T2[:3, :3] @ O1 + T2[:3, 3]
+            if abs(pc[2]) < 1e-6:
+                epipole = np.array([1e6, 1e6], np.float32)
+            else:
+                epipole = np.array([cam.fx * pc[0] / pc[2] + cam.cx,
+                                    cam.fy * pc[1] / pc[2] + cam.cy], np.float32)
+
+            has_mp2 = mp.kf_mp[kf2] >= 0
+            m = M.search_for_triangulation(
+                jnp.asarray(mp.kf_xy[kf]), jnp.asarray(mp.kf_desc[kf]),
+                jnp.asarray(mp.kf_kp_valid[kf]), jnp.asarray(mp.kf_octave[kf]),
+                jnp.asarray(mp.kf_angle[kf]), jnp.asarray(has_mp1),
+                jnp.asarray(mp.kf_xy[kf2]), jnp.asarray(mp.kf_desc[kf2]),
+                jnp.asarray(mp.kf_kp_valid[kf2]), jnp.asarray(mp.kf_octave[kf2]),
+                jnp.asarray(mp.kf_angle[kf2]), jnp.asarray(has_mp2),
+                F12, jnp.asarray(epipole), jnp.asarray(sigma2))
+            ok = np.asarray(m.ok)
+            idx2 = np.asarray(m.idx)
+            if not ok.any():
+                continue
+
+            i1 = np.nonzero(ok)[0]
+            i2 = idx2[i1]
+            uv1 = mp.kf_xy[kf, i1]
+            uv2 = mp.kf_xy[kf2, i2]
+
+            # ray parallax (reference :470-514)
+            r1 = np.stack([(uv1[:, 0] - cam.cx) / cam.fx, (uv1[:, 1] - cam.cy) / cam.fy,
+                           np.ones(len(i1))], -1)
+            r2 = np.stack([(uv2[:, 0] - cam.cx) / cam.fx, (uv2[:, 1] - cam.cy) / cam.fy,
+                           np.ones(len(i2))], -1)
+            r1w = r1 @ T1[:3, :3]
+            r2w = r2 @ T2[:3, :3]
+            cos_rays = np.sum(r1w * r2w, -1) / np.maximum(
+                np.linalg.norm(r1w, axis=-1) * np.linalg.norm(r2w, axis=-1), 1e-9)
+
+            d1 = mp.kf_depth[kf, i1]
+            d2 = mp.kf_depth[kf2, i2]
+            cos_stereo = np.full_like(cos_rays, 1.1)
+            if not self.monocular:
+                with np.errstate(all="ignore"):
+                    cs1 = np.cos(2 * np.arctan2(cam.baseline / 2, np.where(d1 > 0, d1, 1e9)))
+                    cs2 = np.cos(2 * np.arctan2(cam.baseline / 2, np.where(d2 > 0, d2, 1e9)))
+                cos_stereo = np.minimum(cs1, cs2)
+
+            use_tri = (cos_rays < cos_stereo) & (cos_rays > 0) & \
+                      ((d1 > 0) | (d2 > 0) | (cos_rays < 0.9998))
+
+            P1 = K @ T1[:3, :]
+            P2 = K @ T2[:3, :]
+            pts = np.asarray(triangulate_dlt(
+                jnp.asarray(P1, jnp.float32), jnp.asarray(P2, jnp.float32),
+                jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32)))
+            # fall back to stereo unprojection when rays are too parallel
+            if not self.monocular:
+                bp1 = self._unproject(kf, i1)
+                bp2 = self._unproject(kf2, i2)
+                pts = np.where(use_tri[:, None], pts,
+                               np.where((d1 > 0)[:, None], bp1,
+                                        np.where((d2 > 0)[:, None], bp2, pts)))
+                accept = use_tri | (d1 > 0) | (d2 > 0)
+            else:
+                accept = use_tri
+
+            # cheirality + reprojection + scale consistency (reference :551-651)
+            pc1 = pts @ T1[:3, :3].T + T1[:3, 3]
+            pc2 = pts @ T2[:3, :3].T + T2[:3, 3]
+            accept &= (pc1[:, 2] > 0) & (pc2[:, 2] > 0)
+            o1 = mp.kf_octave[kf, i1]
+            o2 = mp.kf_octave[kf2, i2]
+            for pc, uv, oct_, kf_i, ii, dd in ((pc1, uv1, o1, kf, i1, d1), (pc2, uv2, o2, kf2, i2, d2)):
+                with np.errstate(all="ignore"):
+                    pu = cam.fx * pc[:, 0] / pc[:, 2] + cam.cx
+                    pv = cam.fy * pc[:, 1] / pc[:, 2] + cam.cy
+                    err = (pu - uv[:, 0]) ** 2 + (pv - uv[:, 1]) ** 2
+                    chi2 = err / sigma2[oct_]
+                    is_st = mp.kf_ur[kf_i, ii] >= 0
+                    pur = pu - cam.bf / np.maximum(pc[:, 2], 1e-6)
+                    err_st = err + (pur - mp.kf_ur[kf_i, ii]) ** 2
+                    chi2 = np.where(is_st, err_st / sigma2[oct_], chi2)
+                accept &= np.where(is_st, chi2 <= 7.8, chi2 <= 5.991)
+
+            dist1 = np.linalg.norm(pts - O1, axis=-1)
+            dist2 = np.linalg.norm(pts - O2, axis=-1)
+            with np.errstate(all="ignore"):
+                ratio_dist = dist2 / np.maximum(dist1, 1e-9)
+                ratio_oct = self.scale_factors[o1] / self.scale_factors[o2]
+            accept &= (dist1 > 0) & (dist2 > 0)
+            accept &= (ratio_dist < ratio_oct * ratio_factor) & (ratio_dist * ratio_factor > ratio_oct)
+
+            new_ids = []
+            for j in np.nonzero(accept)[0]:
+                if mp.kf_mp[kf, i1[j]] >= 0 or mp.kf_mp[kf2, i2[j]] >= 0:
+                    continue  # got matched meanwhile
+                mid = mp.add_map_point(pts[j].astype(np.float32), kf, first_kf=kf)
+                mp.add_observation(mid, kf, int(i1[j]))
+                mp.add_observation(mid, int(kf2), int(i2[j]))
+                new_ids.append(mid)
+                self.recent_points.append(mid)
+            if new_ids:
+                mp.update_point_descriptors(np.asarray(new_ids))
+                mp.update_normal_and_depth(np.asarray(new_ids))
+        mp.update_connections(kf)
+
+    def _unproject(self, kf: int, idxs) -> np.ndarray:
+        cam = self.config.camera
+        mp = self.map
+        z = mp.kf_depth[kf, idxs]
+        x = (mp.kf_xy[kf, idxs, 0] - cam.cx) / cam.fx * z
+        y = (mp.kf_xy[kf, idxs, 1] - cam.cy) / cam.fy * z
+        pc = np.stack([x, y, z], -1)
+        T = mp.kf_Tcw[kf]
+        return (pc - T[:3, 3]) @ T[:3, :3]
+
+    # ------------------------------------------------------------------
+
+    def _search_in_neighbors(self, kf: int):
+        """Two-level neighbor fuse (reference: LocalMapping::SearchInNeighbors,
+        LocalMapping.cc:688-832)."""
+        mp = self.map
+        n1 = 20 if self.monocular else 10
+        targets = []
+        seen = {kf}
+        for nb in mp.get_covisible(kf, n1):
+            if nb not in seen:
+                targets.append(int(nb))
+                seen.add(int(nb))
+        for nb in list(targets):
+            for nb2 in mp.get_covisible(nb, 5):
+                if nb2 not in seen:
+                    targets.append(int(nb2))
+                    seen.add(int(nb2))
+
+        cur_pts = mp.kf_mp[kf]
+        cur_pts = np.unique(cur_pts[cur_pts >= 0])
+        cur_pts = cur_pts[mp.mp_valid[cur_pts]]
+        # forward: fuse current KF's points into each target
+        for t in targets:
+            self._fuse(t, cur_pts)
+        # backward: fuse all targets' points into the current KF
+        fuse_pts = mp.points_of_keyframes(np.asarray(targets, np.int64)) if targets else np.empty(0, np.int64)
+        self._fuse(kf, fuse_pts)
+
+        touched = mp.kf_mp[kf]
+        touched = np.unique(touched[touched >= 0])
+        touched = touched[mp.mp_valid[touched]]
+        mp.update_point_descriptors(touched)
+        mp.update_normal_and_depth(touched)
+        mp.update_connections(kf)
+
+    def _fuse(self, kf: int, mp_ids: np.ndarray, th: float = 3.0):
+        """Project points into keyframe kf and merge duplicates
+        (reference: ORBmatcher::Fuse, ORBmatcher.cc:1100-1279)."""
+        mp = self.map
+        if mp_ids.size == 0:
+            return
+        cap = 8192
+        if mp_ids.size > cap:
+            mp_ids = mp_ids[:cap]
+        pad = cap - mp_ids.size
+        ids = np.pad(mp_ids, (0, pad))
+        pvalid = np.pad(mp.mp_valid[mp_ids], (0, pad))
+
+        proj = M.project_and_cull(
+            jnp.asarray(mp.mp_pos[ids]), jnp.asarray(pvalid),
+            jnp.asarray(mp.mp_normal[ids]), jnp.asarray(mp.mp_min_dist[ids]),
+            jnp.asarray(mp.mp_max_dist[ids]), jnp.asarray(mp.kf_Tcw[kf]),
+            self.config.camera, self.config.orb.n_levels, self.log_scale,
+            view_cos_limit=0.5)
+        m = M.search_by_projection(
+            proj, jnp.asarray(mp.mp_desc[ids]),
+            jnp.asarray(mp.kf_xy[kf]), jnp.asarray(mp.kf_ur[kf]),
+            jnp.asarray(mp.kf_desc[kf]), jnp.asarray(mp.kf_kp_valid[kf]),
+            jnp.asarray(mp.kf_octave[kf]), jnp.asarray(self.scale_factors),
+            th=th / 4.0, max_dist=M.TH_LOW, ratio=0.0,
+            check_stereo=not self.monocular)
+        ok = np.asarray(m.ok)
+        idx = np.asarray(m.idx)
+        for j in np.nonzero(ok)[0]:
+            src = int(ids[j])
+            if not mp.mp_valid[src]:
+                continue
+            tgt_feat = int(idx[j])
+            existing = int(mp.kf_mp[kf, tgt_feat])
+            if existing >= 0 and mp.mp_valid[existing]:
+                if existing == src:
+                    continue
+                # keep the point with more observations (reference :1219-1231)
+                if mp.mp_n_obs[existing] >= mp.mp_n_obs[src]:
+                    mp.replace_map_point(src, existing)
+                else:
+                    mp.replace_map_point(existing, src)
+            else:
+                mp.add_observation(src, kf, tgt_feat)
+
+    # ------------------------------------------------------------------
+
+    def local_ba(self, kf: int):
+        """Build + solve the local-BA window (reference:
+        Optimizer::LocalBundleAdjustment, Optimizer.cc:631-1030)."""
+        mp = self.map
+        local = [kf] + [int(x) for x in mp.get_covisible(kf)]
+        local = local[:BA_CAM_CAP - 8]          # leave room for fixed cams
+        local_set = set(local)
+
+        pts = mp.points_of_keyframes(np.asarray(local, np.int64))
+        if pts.size > BA_PT_CAP:
+            pts = pts[np.argsort(-mp.mp_n_obs[pts], kind="stable")[:BA_PT_CAP]]
+        pt_slot = {int(p): i for i, p in enumerate(pts)}
+
+        # fixed cameras: other observers of the local points
+        fixed = []
+        obs_kfs = np.unique(mp.mp_obs_kf[pts][mp.mp_obs_kf[pts] >= 0])
+        for k in obs_kfs:
+            if int(k) not in local_set and mp.kf_valid[k]:
+                fixed.append(int(k))
+                if len(local) + len(fixed) >= BA_CAM_CAP:
+                    break
+        cams = local + fixed
+        cam_slot = {c: i for i, c in enumerate(cams)}
+
+        e_cam, e_pt, e_obs, e_oct = [], [], [], []
+        for pi, p in enumerate(pts):
+            n = mp.mp_n_obs[p]
+            for o in range(n):
+                k = int(mp.mp_obs_kf[p, o])
+                if k not in cam_slot:
+                    continue
+                i = int(mp.mp_obs_idx[p, o])
+                e_cam.append(cam_slot[k])
+                e_pt.append(pi)
+                e_obs.append((mp.kf_xy[k, i, 0], mp.kf_xy[k, i, 1], mp.kf_ur[k, i]))
+                e_oct.append(mp.kf_octave[k, i])
+                if len(e_cam) >= BA_EDGE_CAP:
+                    break
+            if len(e_cam) >= BA_EDGE_CAP:
+                break
+
+        E = len(e_cam)
+        if E < 10:
+            return
+        C, P = BA_CAM_CAP, BA_PT_CAP
+        pad_e = BA_EDGE_CAP - E
+
+        cam_Tcw = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+        cam_Tcw[:len(cams)] = mp.kf_Tcw[cams]
+        cam_free = np.zeros(C, bool)
+        cam_free[:len(local)] = True
+        # gauge: the first two keyframes of the map stay fixed (reference
+        # fixes KF id<=1 inside local BA too, Optimizer.cc:711-716)
+        for i, c in enumerate(cams):
+            if c <= self.map.origin_kf + 1:
+                cam_free[i] = False
+        cam_valid = np.zeros(C, bool)
+        cam_valid[:len(cams)] = True
+
+        points = np.zeros((P, 3), np.float32)
+        points[:len(pts)] = mp.mp_pos[pts]
+        point_valid = np.zeros(P, bool)
+        point_valid[:len(pts)] = True
+
+        prob = BAProblem(
+            cam_Tcw=jnp.asarray(cam_Tcw),
+            cam_free=jnp.asarray(cam_free),
+            cam_valid=jnp.asarray(cam_valid),
+            points=jnp.asarray(points),
+            point_valid=jnp.asarray(point_valid),
+            edge_cam=jnp.asarray(np.pad(np.asarray(e_cam, np.int32), (0, pad_e))),
+            edge_point=jnp.asarray(np.pad(np.asarray(e_pt, np.int32), (0, pad_e))),
+            edge_obs=jnp.asarray(np.pad(np.asarray(e_obs, np.float32), ((0, pad_e), (0, 0)))),
+            edge_octave=jnp.asarray(np.pad(np.asarray(e_oct, np.int32), (0, pad_e))),
+            edge_valid=jnp.asarray(np.pad(np.ones(E, bool), (0, pad_e))),
+        )
+        new_cams, new_pts, inlier = local_bundle_adjustment(
+            prob, self.config.camera, jnp.asarray(self.inv_sigma2))
+
+        new_cams = np.asarray(new_cams)
+        new_pts = np.asarray(new_pts)
+        inlier = np.asarray(inlier)
+
+        # write back
+        for i, c in enumerate(cams[:len(local)]):
+            if cam_free[i]:
+                mp.kf_Tcw[c] = new_cams[i]
+        mp.mp_pos[pts] = new_pts[:len(pts)]
+
+        # erase outlier observations (reference: Optimizer.cc:940-1007)
+        bad = np.nonzero(~inlier[:E])[0]
+        for e in bad:
+            p = int(pts[e_pt[e]])
+            k = cams[e_cam[e]]
+            if mp.mp_valid[p]:
+                self.map.erase_observation(p, k)
+        touched = pts[mp.mp_valid[pts]]
+        mp.update_normal_and_depth(touched)
+
+    def global_ba(self, n_iters: int = 10):
+        """Whole-map BA (reference: Optimizer::GlobalBundleAdjustemnt)."""
+        mp = self.map
+        kfs = mp.keyframe_ids()
+        pts = mp.points_of_keyframes(kfs)
+        if pts.size == 0 or kfs.size < 2:
+            return
+        cam_slot = {int(c): i for i, c in enumerate(kfs)}
+
+        e_cam, e_pt, e_obs, e_oct = [], [], [], []
+        for pi, p in enumerate(pts):
+            n = mp.mp_n_obs[p]
+            for o in range(n):
+                k = int(mp.mp_obs_kf[p, o])
+                if k not in cam_slot:
+                    continue
+                i = int(mp.mp_obs_idx[p, o])
+                e_cam.append(cam_slot[k])
+                e_pt.append(pi)
+                e_obs.append((mp.kf_xy[k, i, 0], mp.kf_xy[k, i, 1], mp.kf_ur[k, i]))
+                e_oct.append(mp.kf_octave[k, i])
+
+        E = len(e_cam)
+        if E < 10:
+            return
+        cam_free = np.ones(len(kfs), bool)
+        cam_free[cam_slot.get(mp.origin_kf, 0)] = False
+
+        prob = BAProblem(
+            cam_Tcw=jnp.asarray(mp.kf_Tcw[kfs]),
+            cam_free=jnp.asarray(cam_free),
+            cam_valid=jnp.ones(len(kfs), bool),
+            points=jnp.asarray(mp.mp_pos[pts]),
+            point_valid=jnp.ones(len(pts), bool),
+            edge_cam=jnp.asarray(e_cam, jnp.int32),
+            edge_point=jnp.asarray(e_pt, jnp.int32),
+            edge_obs=jnp.asarray(np.asarray(e_obs, np.float32)),
+            edge_octave=jnp.asarray(e_oct, jnp.int32),
+            edge_valid=jnp.ones(E, bool),
+        )
+        new_cams, new_pts, _ = global_bundle_adjustment(
+            prob, self.config.camera, jnp.asarray(self.inv_sigma2),
+            n_iters=n_iters)
+        new_cams = np.asarray(new_cams)
+        for i, c in enumerate(kfs):
+            if cam_free[i]:
+                mp.kf_Tcw[c] = new_cams[i]
+        mp.mp_pos[pts] = np.asarray(new_pts)
+        mp.update_normal_and_depth(pts)
+
+    # ------------------------------------------------------------------
+
+    def _keyframe_culling(self, kf: int):
+        """reference: LocalMapping::KeyFrameCulling (LocalMapping.cc:966-1082):
+        a local keyframe is redundant if >= 90% of its points are seen by
+        >= 3 other keyframes at the same or finer scale."""
+        mp = self.map
+        for k in mp.get_covisible(kf):
+            k = int(k)
+            if k == mp.origin_kf or not mp.kf_valid[k]:
+                continue
+            feat_idx = np.nonzero(mp.kf_mp[k] >= 0)[0]
+            mps = mp.kf_mp[k, feat_idx]
+            ok = mp.mp_valid[mps]
+            feat_idx, mps = feat_idx[ok], mps[ok]
+            if not self.monocular:
+                # only close points count (reference :1006-1011)
+                d = mp.kf_depth[k, feat_idx]
+                close = (d > 0) & (d < self.config.th_depth * self.config.camera.baseline)
+                feat_idx, mps = feat_idx[close], mps[close]
+            if mps.size == 0:
+                continue
+            n_redundant = 0
+            for fi, m in zip(feat_idx, mps):
+                lvl = mp.kf_octave[k, fi]
+                n_better = 0
+                for o in range(mp.mp_n_obs[m]):
+                    ok2 = int(mp.mp_obs_kf[m, o])
+                    if ok2 == k or ok2 < 0:
+                        continue
+                    lvl2 = mp.kf_octave[ok2, int(mp.mp_obs_idx[m, o])]
+                    if lvl2 <= lvl + 1:
+                        n_better += 1
+                        if n_better >= 3:
+                            break
+                if n_better >= 3:
+                    n_redundant += 1
+            if n_redundant > 0.9 * mps.size:
+                mp.erase_keyframe(k)

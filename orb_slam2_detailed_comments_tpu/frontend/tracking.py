@@ -1,0 +1,575 @@
+"""Per-frame tracking front-end.
+
+TPU-native replacement for the reference Tracking thread
+(reference: src/Tracking.cc). The state machine, decision rules and
+thresholds follow the reference; the compute is batched device kernels:
+
+  Track (reference Tracking.cc:428-790)
+  ├─ [uninit] monocular / stereo initialization  (:797, :903)
+  ├─ TrackWithMotionModel / TrackReferenceKeyFrame (:1399, :1196)
+  │    (projection search / brute-force MXU matching + pose-only GN)
+  ├─ Relocalization on LOST (:2245) — delegated to backend.relocalization
+  ├─ TrackLocalMap (:1514): covisibility local map -> frustum cull ->
+  │    projection search -> pose-only GN
+  └─ NeedNewKeyFrame / CreateNewKeyFrame (:1600, :1753)
+
+Host numpy orchestrates; every hot step is a fixed-shape jitted kernel.
+"""
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry.se3 import se3_inverse
+from ..ops.orb import extract_orb, Keypoints
+from ..ops import matching as M
+from ..ops.stereo import stereo_match, depth_to_stereo
+from ..optim.pose_gn import pose_optimization
+from ..solvers.initializer import initialize_two_view
+from ..state.frame import FrameData
+from ..state.map_store import MapStore
+from ..utils.config import SlamConfig
+from ..utils.timing import StageTimer
+
+LOCAL_MP_CAP = 8192  # fixed device capacity for the tracking local map
+
+
+class Sensor(enum.Enum):
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+class Tracker:
+    def __init__(self, config: SlamConfig, map_store: MapStore, sensor: Sensor,
+                 local_mapper=None, relocalizer=None):
+        self.config = config
+        self.map = map_store
+        self.sensor = sensor
+        self.local_mapper = local_mapper      # backend.LocalMapper or None
+        self.relocalizer = relocalizer        # callable(frame) -> bool
+        self.state = TrackingState.NO_IMAGES_YET
+        self.timer = StageTimer()
+
+        orb = config.orb
+        self.scale_factors = np.array([orb.scale_factor ** i for i in range(orb.n_levels)], np.float32)
+        self.inv_sigma2 = (1.0 / self.scale_factors ** 2).astype(np.float32)
+        self.log_scale = float(np.log(orb.scale_factor))
+
+        self.frame_id = 0
+        self.last_frame: Optional[FrameData] = None
+        self.init_frame: Optional[FrameData] = None   # mono init reference
+        self.velocity: Optional[np.ndarray] = None    # Tcl: last->current
+        self.last_kf_id = -1
+        self.last_kf_frame_id = -1
+        self.last_reloc_frame_id = -1000000
+        # per-frame relative pose log for trajectory export
+        # (reference: Tracking.cc:763-788 mlRelativeFramePoses)
+        self.trajectory: list = []   # (frame_id, ts, Tcr, ref_kf, lost)
+        self.localization_only = False
+
+        # depth threshold for close/far stereo points
+        self.th_depth = config.th_depth * config.camera.baseline if config.camera.bf > 0 else np.inf
+
+    # ------------------------------------------------------------------
+    # frame construction
+    # ------------------------------------------------------------------
+
+    def _build_frame(self, img, timestamp, n_features=0, img_right=None, depth=None) -> FrameData:
+        """Frame constructor (reference: Frame.cc:53-430)."""
+        cfg = self.config
+        kp: Keypoints = extract_orb(jnp.asarray(img, jnp.float32), cfg.orb, n_features)
+        xy_und = np.asarray(cfg.camera.undistort_pixels(kp.xy))
+        n = kp.xy.shape[0]
+        ur = np.full(n, -1.0, np.float32)
+        dep = np.full(n, -1.0, np.float32)
+        valid = np.asarray(kp.valid)
+
+        if img_right is not None:
+            kp_r: Keypoints = extract_orb(jnp.asarray(img_right, jnp.float32), cfg.orb, n_features)
+            ur_j, dep_j = stereo_match(
+                kp, kp_r, jnp.asarray(img, jnp.float32), jnp.asarray(img_right, jnp.float32),
+                cfg.camera, cfg.orb)
+            ur = np.asarray(ur_j)
+            dep = np.asarray(dep_j)
+        elif depth is not None:
+            ur_j, dep_j = depth_to_stereo(kp, jnp.asarray(xy_und), jnp.asarray(depth, jnp.float32), cfg.camera)
+            ur = np.asarray(ur_j)
+            dep = np.asarray(dep_j)
+
+        f = FrameData(
+            frame_id=self.frame_id,
+            timestamp=timestamp,
+            xy=xy_und,
+            response=np.asarray(kp.response),
+            octave=np.asarray(kp.octave),
+            angle=np.asarray(kp.angle),
+            desc=np.asarray(kp.desc),
+            valid=valid,
+            ur=ur,
+            depth=dep,
+        )
+        self.frame_id += 1
+        return f
+
+    # ------------------------------------------------------------------
+    # public entry points (reference: GrabImageMonocular/Stereo/RGBD)
+    # ------------------------------------------------------------------
+
+    def track_monocular(self, img, timestamp) -> Optional[np.ndarray]:
+        n_feat = 0
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            n_feat = 2 * self.config.orb.n_features  # reference: Tracking.cc:180-182
+        with self.timer.stage("frame_build"):
+            frame = self._build_frame(img, timestamp, n_feat)
+        return self._track(frame)
+
+    def track_stereo(self, img_left, img_right, timestamp) -> Optional[np.ndarray]:
+        with self.timer.stage("frame_build"):
+            frame = self._build_frame(img_left, timestamp, 0, img_right=img_right)
+        return self._track(frame)
+
+    def track_rgbd(self, img, depth, timestamp) -> Optional[np.ndarray]:
+        with self.timer.stage("frame_build"):
+            frame = self._build_frame(img, timestamp, 0, depth=depth)
+        return self._track(frame)
+
+    # ------------------------------------------------------------------
+    # main state machine (reference: Tracking::Track, Tracking.cc:428-790)
+    # ------------------------------------------------------------------
+
+    def _track(self, frame: FrameData) -> Optional[np.ndarray]:
+        if self.state == TrackingState.NO_IMAGES_YET:
+            self.state = TrackingState.NOT_INITIALIZED
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            if self.sensor == Sensor.MONOCULAR:
+                self._monocular_initialization(frame)
+            else:
+                self._stereo_initialization(frame)
+            self.last_frame = frame
+            if self.state != TrackingState.OK:
+                return None
+            self._log_trajectory(frame, lost=False)
+            return frame.Tcw
+
+        ok = False
+        with self.timer.stage("track_frame"):
+            if self.state == TrackingState.OK:
+                self._check_replaced_last_frame()
+                if self.velocity is None or frame.frame_id < self.last_reloc_frame_id + 2:
+                    ok = self._track_reference_keyframe(frame)
+                else:
+                    ok = self._track_with_motion_model(frame)
+                    if not ok:
+                        ok = self._track_reference_keyframe(frame)
+            else:  # LOST
+                ok = self._relocalize(frame)
+
+        if ok and not self.localization_only:
+            with self.timer.stage("track_local_map"):
+                ok = self._track_local_map(frame)
+
+        if ok:
+            self.state = TrackingState.OK
+            # motion model: velocity = Tcw_cur * Twc_last
+            if self.last_frame is not None and self.last_frame.Tcw is not None:
+                Twc_last = np.asarray(se3_inverse(jnp.asarray(self.last_frame.Tcw)))
+                self.velocity = frame.Tcw @ Twc_last
+            if not self.localization_only and self._need_new_keyframe(frame):
+                with self.timer.stage("create_keyframe"):
+                    self._create_new_keyframe(frame)
+            # drop outlier associations (reference: Tracking.cc:691-719)
+            frame.mp[frame.is_outlier] = -1
+            frame.is_outlier[:] = False
+        else:
+            self.state = TrackingState.LOST
+            self.velocity = None
+            # auto-reset if lost early (reference: Tracking.cc:744-753)
+            if self.map.n_keyframes() <= 5 and not self.localization_only:
+                self.reset()
+                return None
+
+        self._log_trajectory(frame, lost=not ok)
+        self.last_frame = frame
+        return frame.Tcw if ok else None
+
+    def _log_trajectory(self, frame, lost: bool):
+        ref = frame.ref_kf if frame.ref_kf >= 0 else self.last_kf_id
+        if frame.Tcw is not None and ref >= 0:
+            Trw = self.map.kf_Tcw[ref]
+            Tcr = frame.Tcw @ np.asarray(se3_inverse(jnp.asarray(Trw)))
+        else:
+            Tcr = np.eye(4, dtype=np.float32)
+        self.trajectory.append((frame.frame_id, frame.timestamp, Tcr, ref, lost))
+
+    def reset(self):
+        """reference: Tracking::Reset (Tracking.cc:2506-2563)."""
+        self.map.__init__(self.config)
+        self.state = TrackingState.NOT_INITIALIZED
+        self.last_frame = None
+        self.init_frame = None
+        self.velocity = None
+        self.last_kf_id = -1
+        self.last_kf_frame_id = -1
+        self.trajectory.clear()
+        if self.local_mapper is not None:
+            self.local_mapper.reset()
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def _stereo_initialization(self, frame: FrameData):
+        """reference: Tracking::StereoInitialization (Tracking.cc:797-897)."""
+        if frame.n_valid < 500:
+            return
+        frame.Tcw = np.eye(4, dtype=np.float32)
+        kf = self.map.add_keyframe(frame)
+        cam = self.config.camera
+        good = frame.valid & (frame.depth > 0)
+        idxs = np.nonzero(good)[0]
+        for i in idxs:
+            z = float(frame.depth[i])
+            x = (frame.xy[i, 0] - cam.cx) / cam.fx * z
+            y = (frame.xy[i, 1] - cam.cy) / cam.fy * z
+            m = self.map.add_map_point(np.array([x, y, z], np.float32), kf)
+            self.map.add_observation(m, kf, i)
+            frame.mp[i] = m
+        mp_ids = self.map.kf_mp[kf][self.map.kf_mp[kf] >= 0]
+        self.map.update_point_descriptors(mp_ids)
+        self.map.update_normal_and_depth(mp_ids)
+        self.map.update_connections(kf)
+        frame.ref_kf = kf
+        self.last_kf_id = kf
+        self.last_kf_frame_id = frame.frame_id
+        if self.local_mapper is not None:
+            self.local_mapper.on_new_keyframe(kf, run_ba=False)
+        self.state = TrackingState.OK
+
+    def _monocular_initialization(self, frame: FrameData):
+        """reference: Tracking::MonocularInitialization (Tracking.cc:903-1011)."""
+        if self.init_frame is None:
+            if frame.n_valid > 100:
+                self.init_frame = frame
+            return
+        if frame.n_valid <= 100:
+            self.init_frame = None
+            return
+
+        f0 = self.init_frame
+        m = M.search_for_initialization(
+            jnp.asarray(f0.xy), jnp.asarray(f0.desc), jnp.asarray(f0.valid),
+            jnp.asarray(f0.octave), jnp.asarray(f0.angle),
+            jnp.asarray(frame.xy), jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            jnp.asarray(frame.octave), jnp.asarray(frame.angle))
+        ok = np.asarray(m.ok)
+        idx = np.asarray(m.idx)
+        if ok.sum() < 100:
+            self.init_frame = None  # reference discards the initializer
+            return
+
+        res = initialize_two_view(
+            f0.xy, frame.xy[idx], ok, np.asarray(self.config.camera.K),
+            seed=frame.frame_id)
+        if res is None:
+            return
+
+        self._create_initial_map_monocular(f0, frame, idx, res)
+
+    def _create_initial_map_monocular(self, f0, f1, match_idx, res):
+        """reference: Tracking::CreateInitialMapMonocular (Tracking.cc:1017-1155)."""
+        f0.Tcw = np.eye(4, dtype=np.float32)
+        T1 = np.eye(4, dtype=np.float32)
+        T1[:3, :3] = res.R
+        T1[:3, 3] = res.t
+        f1.Tcw = T1
+
+        kf0 = self.map.add_keyframe(f0)
+        kf1 = self.map.add_keyframe(f1)
+
+        tri = np.nonzero(res.is_triangulated)[0]
+        for i in tri:
+            j = match_idx[i]
+            mp = self.map.add_map_point(res.points3d[i], kf1, first_kf=kf0)
+            self.map.add_observation(mp, kf0, int(i))
+            self.map.add_observation(mp, kf1, int(j))
+            f1.mp[j] = mp
+        mp_ids = self.map.kf_mp[kf1][self.map.kf_mp[kf1] >= 0]
+        self.map.update_point_descriptors(mp_ids)
+        self.map.update_normal_and_depth(mp_ids)
+        self.map.update_connections(kf0)
+        self.map.update_connections(kf1)
+
+        # global BA on the 2-view map (reference: Tracking.cc:1089)
+        if self.local_mapper is not None:
+            self.local_mapper.global_ba(n_iters=20)
+
+        # median-depth normalization (reference: Tracking.cc:1094-1123)
+        pos = self.map.mp_pos[mp_ids]
+        Tcw0 = self.map.kf_Tcw[kf0]
+        z = (pos @ Tcw0[:3, :3].T + Tcw0[:3, 3])[:, 2]
+        med = float(np.median(z))
+        if med <= 0 or len(mp_ids) < 50:
+            self.reset()
+            return
+        inv = 1.0 / med
+        self.map.kf_Tcw[kf1][:3, 3] *= inv
+        self.map.mp_pos[mp_ids] *= inv
+        self.map.update_normal_and_depth(mp_ids)
+
+        f1.Tcw = self.map.kf_Tcw[kf1].copy()
+        f0.Tcw = self.map.kf_Tcw[kf0].copy()
+        f1.ref_kf = kf1
+        self.last_kf_id = kf1
+        self.last_kf_frame_id = f1.frame_id
+        self.init_frame = None
+        if self.local_mapper is not None:
+            self.local_mapper.on_new_keyframe(kf0, run_ba=False)
+            self.local_mapper.on_new_keyframe(kf1, run_ba=False)
+        self.state = TrackingState.OK
+
+    # ------------------------------------------------------------------
+    # per-frame tracking
+    # ------------------------------------------------------------------
+
+    def _check_replaced_last_frame(self):
+        """reference: Tracking::CheckReplacedInLastFrame (Tracking.cc:1161-1190).
+        Our Replace() rewrites ids immediately, so only validity needs a
+        refresh."""
+        lf = self.last_frame
+        if lf is None or lf.mp is None:
+            return
+        has = lf.mp >= 0
+        bad = has & ~self.map.mp_valid[np.where(has, lf.mp, 0)]
+        lf.mp[bad] = -1
+
+    def _pose_opt(self, frame: FrameData) -> int:
+        """Run motion-only GN on the frame's current associations and flag
+        outliers. Returns the inlier count."""
+        mp = frame.mp
+        has = (mp >= 0) & frame.valid
+        mp_safe = np.where(has, mp, 0)
+        pts = self.map.mp_pos[mp_safe]
+        obs = np.concatenate([frame.xy, frame.ur[:, None]], axis=1).astype(np.float32)
+        Tcw, inliers, n = pose_optimization(
+            jnp.asarray(frame.Tcw), jnp.asarray(pts), jnp.asarray(obs),
+            jnp.asarray(frame.octave), jnp.asarray(has), self.config.camera,
+            jnp.asarray(self.inv_sigma2))
+        frame.Tcw = np.asarray(Tcw)
+        inl = np.asarray(inliers)
+        frame.is_outlier = has & ~inl
+        return int(inl.sum())
+
+    def _track_reference_keyframe(self, frame: FrameData) -> bool:
+        """reference: Tracking::TrackReferenceKeyFrame (Tracking.cc:1196-1270):
+        BoW-restricted matching becomes a full MXU descriptor match against
+        the reference KF, then pose-only GN from the last pose."""
+        kf = frame.ref_kf if frame.ref_kf >= 0 else self.last_kf_id
+        if kf < 0:
+            return False
+        kf_has_mp = self.map.kf_mp[kf] >= 0
+        m = M.match_descriptors(
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            jnp.asarray(self.map.kf_desc[kf]),
+            jnp.asarray(self.map.kf_kp_valid[kf] & kf_has_mp),
+            angle_a=jnp.asarray(frame.angle), angle_b=jnp.asarray(self.map.kf_angle[kf]),
+            max_dist=M.TH_LOW, ratio=0.7)
+        ok = np.asarray(m.ok)
+        idx = np.asarray(m.idx)
+        if ok.sum() < 15:
+            return False
+        frame.mp[:] = -1
+        frame.mp[ok] = self.map.kf_mp[kf][idx[ok]]
+        frame.Tcw = self.last_frame.Tcw.copy()
+        n_in = self._pose_opt(frame)
+        frame.mp[frame.is_outlier] = -1
+        return n_in >= 10
+
+    def _track_with_motion_model(self, frame: FrameData) -> bool:
+        """reference: Tracking::TrackWithMotionModel (Tracking.cc:1399-1509)."""
+        lf = self.last_frame
+        frame.Tcw = (self.velocity @ lf.Tcw).astype(np.float32)
+
+        has = (lf.mp >= 0) & lf.valid & ~lf.is_outlier
+        mp_ids = np.where(has, lf.mp, 0)
+        has = has & self.map.mp_valid[mp_ids]
+        th = 7.0 if self.sensor == Sensor.STEREO else 15.0
+
+        for radius_mult in (th, 2 * th):
+            proj = M.project_and_cull(
+                jnp.asarray(self.map.mp_pos[mp_ids]), jnp.asarray(has),
+                jnp.asarray(self.map.mp_normal[mp_ids]),
+                jnp.asarray(self.map.mp_min_dist[mp_ids]),
+                jnp.asarray(self.map.mp_max_dist[mp_ids]),
+                jnp.asarray(frame.Tcw), self.config.camera,
+                self.config.orb.n_levels, self.log_scale,
+                view_cos_limit=-1.0)  # last-frame search has no view-angle gate
+            m = M.search_by_projection(
+                proj, jnp.asarray(self.map.mp_desc[mp_ids]),
+                jnp.asarray(frame.xy), jnp.asarray(frame.ur),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                jnp.asarray(frame.octave), jnp.asarray(self.scale_factors),
+                th=radius_mult / 4.0, max_dist=M.TH_HIGH, ratio=0.9,
+                check_stereo=self.sensor != Sensor.MONOCULAR)
+            ok = np.asarray(m.ok)
+            if ok.sum() >= 20:
+                break
+        if ok.sum() < 20:
+            return False
+        idx = np.asarray(m.idx)
+        frame.mp[:] = -1
+        frame.mp[idx[ok]] = mp_ids[ok]
+        n_in = self._pose_opt(frame)
+        frame.mp[frame.is_outlier] = -1
+        return n_in >= 10
+
+    def _track_local_map(self, frame: FrameData) -> bool:
+        """reference: Tracking::TrackLocalMap (Tracking.cc:1514-1595) +
+        UpdateLocalKeyFrames/Points + SearchLocalPoints (:1875-2042)."""
+        kf_ids, ref_kf = self.map.local_keyframes(frame.mp)
+        if ref_kf >= 0:
+            frame.ref_kf = ref_kf
+        if kf_ids.size == 0:
+            return False
+        mp_ids = self.map.points_of_keyframes(kf_ids)
+        if mp_ids.size == 0:
+            return False
+        if mp_ids.size > LOCAL_MP_CAP:
+            mp_ids = mp_ids[:LOCAL_MP_CAP]
+        pad = LOCAL_MP_CAP - mp_ids.size
+        mp_pad = np.pad(mp_ids, (0, pad))
+        pvalid = np.pad(np.ones(mp_ids.size, bool), (0, pad))
+
+        # points already matched in this frame are not searched again
+        cur = set(frame.mp[frame.mp >= 0].tolist())
+        already = np.asarray([m in cur for m in mp_pad.tolist()])
+
+        proj = M.project_and_cull(
+            jnp.asarray(self.map.mp_pos[mp_pad]), jnp.asarray(pvalid & ~already),
+            jnp.asarray(self.map.mp_normal[mp_pad]),
+            jnp.asarray(self.map.mp_min_dist[mp_pad]),
+            jnp.asarray(self.map.mp_max_dist[mp_pad]),
+            jnp.asarray(frame.Tcw), self.config.camera,
+            self.config.orb.n_levels, self.log_scale, view_cos_limit=0.5)
+
+        visible = np.asarray(proj.visible)
+        self.map.increase_visible(mp_pad[visible])
+
+        # keypoints without a match yet are fair targets
+        kp_free = frame.valid & (frame.mp < 0)
+        th = 1.0
+        if frame.frame_id < self.last_reloc_frame_id + 2:
+            th = 5.0  # wider right after relocalization (reference :1929)
+        m = M.search_by_projection(
+            proj, jnp.asarray(self.map.mp_desc[mp_pad]),
+            jnp.asarray(frame.xy), jnp.asarray(frame.ur),
+            jnp.asarray(frame.desc), jnp.asarray(kp_free),
+            jnp.asarray(frame.octave), jnp.asarray(self.scale_factors),
+            th=th, max_dist=M.TH_HIGH, ratio=0.8,
+            check_stereo=self.sensor != Sensor.MONOCULAR)
+        ok = np.asarray(m.ok)
+        idx = np.asarray(m.idx)
+        frame.mp[idx[ok]] = mp_pad[ok]
+
+        n_in = self._pose_opt(frame)
+        matched = (frame.mp >= 0) & ~frame.is_outlier
+        self.map.increase_found(frame.mp[matched])
+
+        min_inliers = 50 if frame.frame_id < self.last_reloc_frame_id + int(self.config.fps) else 30
+        return n_in >= min_inliers
+
+    def _relocalize(self, frame: FrameData) -> bool:
+        if self.relocalizer is None:
+            return False
+        ok = self.relocalizer(frame)
+        if ok:
+            self.last_reloc_frame_id = frame.frame_id
+        return ok
+
+    # ------------------------------------------------------------------
+    # keyframe decision / creation
+    # ------------------------------------------------------------------
+
+    def _need_new_keyframe(self, frame: FrameData) -> bool:
+        """reference: Tracking::NeedNewKeyFrame (Tracking.cc:1600-1745)."""
+        n_kfs = self.map.n_keyframes()
+        if frame.frame_id < self.last_reloc_frame_id + self.config.max_frames and n_kfs > self.config.max_frames:
+            return False
+
+        # tracked-in-reference count at minObs (reference :1648-1656)
+        min_obs = 3 if n_kfs > 2 else 2
+        ref = frame.ref_kf if frame.ref_kf >= 0 else self.last_kf_id
+        ref_mps = self.map.kf_mp[ref]
+        ref_mps = ref_mps[ref_mps >= 0]
+        ref_mps = ref_mps[self.map.mp_valid[ref_mps]]
+        ref_tracked = int((self.map.mp_n_obs[ref_mps] >= min_obs).sum())
+
+        matched = (frame.mp >= 0) & ~frame.is_outlier
+        n_matches = int(matched.sum())
+
+        # close-point bookkeeping for stereo/RGBD (reference :1671-1692)
+        need_close = False
+        if self.sensor != Sensor.MONOCULAR:
+            close = frame.valid & (frame.depth > 0) & (frame.depth < self.th_depth)
+            tracked_close = int((close & matched).sum())
+            untracked_close = int((close & ~matched).sum())
+            need_close = tracked_close < 100 and untracked_close > 70
+
+        th_ratio = 0.9 if self.sensor == Sensor.MONOCULAR else 0.75
+        if n_kfs < 2:
+            th_ratio = 0.4
+        if need_close:
+            th_ratio = 0.9
+
+        c1a = frame.frame_id >= self.last_kf_frame_id + self.config.max_frames
+        c1b = frame.frame_id >= self.last_kf_frame_id + self.config.min_frames
+        c2 = (n_matches < ref_tracked * th_ratio or need_close) and n_matches > 15
+        return (c1a or c1b or need_close) and c2
+
+    def _create_new_keyframe(self, frame: FrameData):
+        """reference: Tracking::CreateNewKeyFrame (Tracking.cc:1753-1870)."""
+        kf = self.map.add_keyframe(frame)
+        frame.ref_kf = kf
+        # register existing observations
+        for i in np.nonzero((frame.mp >= 0) & ~frame.is_outlier)[0]:
+            self.map.add_observation(int(frame.mp[i]), kf, int(i))
+        # stereo/RGBD: spawn close points for unmatched keypoints, nearest
+        # first, at least 100 (reference :1800-1860)
+        if self.sensor != Sensor.MONOCULAR:
+            cam = self.config.camera
+            cand = np.nonzero(frame.valid & (frame.depth > 0) & (frame.mp < 0))[0]
+            order = cand[np.argsort(frame.depth[cand])]
+            created = 0
+            for i in order:
+                z = float(frame.depth[i])
+                if z > self.th_depth and created >= 100:
+                    break
+                x = (frame.xy[i, 0] - cam.cx) / cam.fx * z
+                y = (frame.xy[i, 1] - cam.cy) / cam.fy * z
+                pw = self.map.kf_Tcw[kf]
+                Rwc = pw[:3, :3].T
+                Ow = -Rwc @ pw[:3, 3]
+                pos = Rwc @ np.array([x, y, z], np.float32) + Ow
+                m = self.map.add_map_point(pos, kf)
+                self.map.add_observation(m, kf, int(i))
+                frame.mp[i] = m
+                created += 1
+        mp_ids = self.map.kf_mp[kf][self.map.kf_mp[kf] >= 0]
+        self.map.update_point_descriptors(mp_ids)
+        self.map.update_normal_and_depth(mp_ids)
+        self.map.update_connections(kf)
+        self.last_kf_id = kf
+        self.last_kf_frame_id = frame.frame_id
+        if self.local_mapper is not None:
+            self.local_mapper.on_new_keyframe(kf)

@@ -1,0 +1,473 @@
+"""Global map state as fixed-capacity struct-of-arrays (host side).
+
+Replaces the reference's pointer graph of KeyFrame / MapPoint / Map objects
+guarded by a mutex taxonomy (reference: src/KeyFrame.h:57-474,
+src/MapPoint.h:73-378, src/Map.h:40-166) with flat numpy arrays + validity
+masks. There are no locks: the pipeline stages run as pure transforms over
+this state, and device-side work receives padded array views.
+
+Graph structure:
+  * covisibility graph = dense symmetric (KF, KF) int32 weight matrix
+    (shared-observation counts; edge exists if weight >= 15, reference
+    KeyFrame::UpdateConnections, KeyFrame.cc:456-596),
+  * spanning tree = parent[] int32 (reference KeyFrame.h:191-202),
+  * loop edges = set of pairs.
+
+Observations are stored both directions:
+  * kf_mp[kf, feat]   -> map point id (-1 = none)
+  * mp_obs_kf/idx[mp] -> fixed-capacity list of (kf, feat) pairs
+(reference MapPoint::mObservations, MapPoint.h:336).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.config import SlamConfig
+from .frame import FrameData
+
+COVIS_TH = 15  # minimum shared observations for a covisibility edge
+
+
+def _hamming_np(a, b):
+    """numpy Hamming distance between (..., 8) uint32 descriptor arrays."""
+    return np.bitwise_count(np.bitwise_xor(a, b)).sum(axis=-1).astype(np.int32)
+
+
+class MapStore:
+    def __init__(self, config: SlamConfig):
+        self.config = config
+        KF = config.max_keyframes
+        N = config.orb.max_keypoints
+        MP = config.max_map_points
+        O = config.max_obs_per_point
+        self.KF_CAP, self.KP_CAP, self.MP_CAP, self.OBS_CAP = KF, N, MP, O
+
+        # --- keyframes ---
+        self.kf_valid = np.zeros(KF, bool)
+        self.kf_Tcw = np.tile(np.eye(4, dtype=np.float32), (KF, 1, 1))
+        self.kf_xy = np.zeros((KF, N, 2), np.float32)
+        self.kf_octave = np.zeros((KF, N), np.int32)
+        self.kf_angle = np.zeros((KF, N), np.float32)
+        self.kf_response = np.zeros((KF, N), np.float32)
+        self.kf_desc = np.zeros((KF, N, 8), np.uint32)
+        self.kf_kp_valid = np.zeros((KF, N), bool)
+        self.kf_ur = np.full((KF, N), -1.0, np.float32)
+        self.kf_depth = np.full((KF, N), -1.0, np.float32)
+        self.kf_mp = np.full((KF, N), -1, np.int32)
+        self.kf_frame_id = np.full(KF, -1, np.int64)
+        self.kf_timestamp = np.zeros(KF, np.float64)
+        self.n_kf = 0
+        self.origin_kf = 0
+
+        # graph
+        self.covis = np.zeros((KF, KF), np.int32)
+        self.parent = np.full(KF, -1, np.int32)
+        self.loop_edges: set = set()
+        # soft-delete protection during loop closing (reference
+        # KeyFrame::SetNotErase/SetErase, KeyFrame.h:289-301)
+        self.kf_not_erase = np.zeros(KF, bool)
+        self.kf_pending_erase = np.zeros(KF, bool)
+
+        # --- map points ---
+        self.mp_valid = np.zeros(MP, bool)
+        self.mp_pos = np.zeros((MP, 3), np.float32)
+        self.mp_normal = np.zeros((MP, 3), np.float32)
+        self.mp_desc = np.zeros((MP, 8), np.uint32)
+        self.mp_min_dist = np.zeros(MP, np.float32)
+        self.mp_max_dist = np.zeros(MP, np.float32)
+        self.mp_ref_kf = np.full(MP, -1, np.int32)
+        self.mp_first_kf = np.full(MP, -1, np.int32)
+        self.mp_visible = np.zeros(MP, np.int32)
+        self.mp_found = np.zeros(MP, np.int32)
+        self.mp_obs_kf = np.full((MP, O), -1, np.int32)
+        self.mp_obs_idx = np.full((MP, O), -1, np.int32)
+        self.mp_n_obs = np.zeros(MP, np.int32)
+        self.n_mp = 0
+        self._mp_free: List[int] = []  # recycled slots
+
+    # ------------------------------------------------------------------
+    # keyframes
+    # ------------------------------------------------------------------
+
+    def add_keyframe(self, frame: FrameData) -> int:
+        if self.n_kf >= self.KF_CAP:
+            raise RuntimeError(f"keyframe capacity {self.KF_CAP} exhausted")
+        k = self.n_kf
+        self.n_kf += 1
+        self.kf_valid[k] = True
+        self.kf_Tcw[k] = frame.Tcw
+        self.kf_xy[k] = frame.xy
+        self.kf_octave[k] = frame.octave
+        self.kf_angle[k] = frame.angle
+        self.kf_response[k] = frame.response
+        self.kf_desc[k] = frame.desc
+        self.kf_kp_valid[k] = frame.valid
+        self.kf_ur[k] = frame.ur
+        self.kf_depth[k] = frame.depth
+        self.kf_mp[k] = frame.mp
+        self.kf_frame_id[k] = frame.frame_id
+        self.kf_timestamp[k] = frame.timestamp
+        return k
+
+    def keyframe_ids(self) -> np.ndarray:
+        return np.nonzero(self.kf_valid)[0]
+
+    def n_keyframes(self) -> int:
+        return int(self.kf_valid.sum())
+
+    def n_map_points(self) -> int:
+        return int(self.mp_valid.sum())
+
+    def kf_camera_center(self, k: int) -> np.ndarray:
+        R = self.kf_Tcw[k, :3, :3]
+        t = self.kf_Tcw[k, :3, 3]
+        return -R.T @ t
+
+    # ------------------------------------------------------------------
+    # map points
+    # ------------------------------------------------------------------
+
+    def add_map_point(self, pos, ref_kf: int, first_kf: Optional[int] = None) -> int:
+        if self._mp_free:
+            m = self._mp_free.pop()
+        else:
+            if self.n_mp >= self.MP_CAP:
+                raise RuntimeError(f"map point capacity {self.MP_CAP} exhausted")
+            m = self.n_mp
+            self.n_mp += 1
+        self.mp_valid[m] = True
+        self.mp_pos[m] = pos
+        self.mp_normal[m] = 0.0
+        self.mp_desc[m] = 0
+        self.mp_ref_kf[m] = ref_kf
+        self.mp_first_kf[m] = first_kf if first_kf is not None else ref_kf
+        self.mp_visible[m] = 1
+        self.mp_found[m] = 1
+        self.mp_obs_kf[m] = -1
+        self.mp_obs_idx[m] = -1
+        self.mp_n_obs[m] = 0
+        self.mp_min_dist[m] = 0.0
+        self.mp_max_dist[m] = 0.0
+        return m
+
+    def add_observation(self, mp: int, kf: int, idx: int) -> None:
+        """Register that keypoint `idx` of keyframe `kf` observes `mp`
+        (reference: MapPoint::AddObservation + KeyFrame::AddMapPoint)."""
+        n = self.mp_n_obs[mp]
+        slots = self.mp_obs_kf[mp]
+        # already observed by this kf?
+        existing = np.nonzero(slots[:n] == kf)[0]
+        if existing.size:
+            self.mp_obs_idx[mp, existing[0]] = idx
+        else:
+            if n >= self.OBS_CAP:
+                # evict the weakest (oldest) observation to stay in capacity;
+                # extremely rare with OBS_CAP sized above typical covisibility
+                drop = 0
+                okf, oidx = self.mp_obs_kf[mp, drop], self.mp_obs_idx[mp, drop]
+                if okf >= 0:
+                    self.kf_mp[okf, oidx] = -1
+                self.mp_obs_kf[mp, :-1] = self.mp_obs_kf[mp, 1:]
+                self.mp_obs_idx[mp, :-1] = self.mp_obs_idx[mp, 1:]
+                n = self.OBS_CAP - 1
+            self.mp_obs_kf[mp, n] = kf
+            self.mp_obs_idx[mp, n] = idx
+            self.mp_n_obs[mp] = n + 1
+        self.kf_mp[kf, idx] = mp
+
+    def erase_observation(self, mp: int, kf: int) -> None:
+        """reference: MapPoint::EraseObservation + KeyFrame::EraseMapPointMatch."""
+        n = self.mp_n_obs[mp]
+        slots = self.mp_obs_kf[mp, :n]
+        hit = np.nonzero(slots == kf)[0]
+        if not hit.size:
+            return
+        i = hit[0]
+        idx = self.mp_obs_idx[mp, i]
+        if self.kf_mp[kf, idx] == mp:
+            self.kf_mp[kf, idx] = -1
+        # compact
+        self.mp_obs_kf[mp, i:n - 1] = self.mp_obs_kf[mp, i + 1:n]
+        self.mp_obs_idx[mp, i:n - 1] = self.mp_obs_idx[mp, i + 1:n]
+        self.mp_obs_kf[mp, n - 1] = -1
+        self.mp_obs_idx[mp, n - 1] = -1
+        self.mp_n_obs[mp] = n - 1
+        if self.mp_ref_kf[mp] == kf and self.mp_n_obs[mp] > 0:
+            self.mp_ref_kf[mp] = self.mp_obs_kf[mp, 0]
+        # a point with <= 2 observations dies (reference: MapPoint.cc:221-253)
+        if self.mp_n_obs[mp] <= 2:
+            self.erase_map_point(mp)
+
+    def erase_map_point(self, mp: int) -> None:
+        """Tombstone + unlink (reference: MapPoint::SetBadFlag)."""
+        if not self.mp_valid[mp]:
+            return
+        n = self.mp_n_obs[mp]
+        for i in range(n):
+            kf, idx = self.mp_obs_kf[mp, i], self.mp_obs_idx[mp, i]
+            if kf >= 0 and self.kf_mp[kf, idx] == mp:
+                self.kf_mp[kf, idx] = -1
+        self.mp_valid[mp] = False
+        self.mp_n_obs[mp] = 0
+        self.mp_obs_kf[mp] = -1
+        self.mp_obs_idx[mp] = -1
+        self._mp_free.append(mp)
+
+    def replace_map_point(self, old: int, new: int) -> None:
+        """Merge `old` into `new` (reference: MapPoint::Replace,
+        MapPoint.cc:256-343): transfer observations that `new` lacks, then
+        kill `old`."""
+        if old == new or not self.mp_valid[old]:
+            return
+        n = self.mp_n_obs[old]
+        obs = [(self.mp_obs_kf[old, i], self.mp_obs_idx[old, i]) for i in range(n)]
+        self.mp_found[new] += self.mp_found[old]
+        self.mp_visible[new] += self.mp_visible[old]
+        # detach old first so erase doesn't cascade
+        self.mp_valid[old] = False
+        self.mp_n_obs[old] = 0
+        self.mp_obs_kf[old] = -1
+        self.mp_obs_idx[old] = -1
+        self._mp_free.append(old)
+        for kf, idx in obs:
+            if kf < 0 or not self.kf_valid[kf]:
+                continue
+            already = np.nonzero(self.mp_obs_kf[new, :self.mp_n_obs[new]] == kf)[0]
+            if already.size:
+                # new already observed in this kf: old's slot is freed
+                if self.kf_mp[kf, idx] == old:
+                    self.kf_mp[kf, idx] = -1
+            else:
+                self.add_observation(new, kf, idx)
+
+    def increase_visible(self, mp_ids) -> None:
+        np.add.at(self.mp_visible, mp_ids, 1)
+
+    def increase_found(self, mp_ids) -> None:
+        np.add.at(self.mp_found, mp_ids, 1)
+
+    def found_ratio(self, mp_ids) -> np.ndarray:
+        return self.mp_found[mp_ids] / np.maximum(self.mp_visible[mp_ids], 1)
+
+    # ------------------------------------------------------------------
+    # derived per-point state
+    # ------------------------------------------------------------------
+
+    def update_point_descriptors(self, mp_ids) -> None:
+        """Representative descriptor = min median Hamming distance to the
+        other observations (reference: MapPoint::ComputeDistinctiveDescriptors,
+        MapPoint.cc:424-519). Vectorized per point over its <= O observations."""
+        for m in np.atleast_1d(mp_ids):
+            n = self.mp_n_obs[m]
+            if n == 0 or not self.mp_valid[m]:
+                continue
+            kfs = self.mp_obs_kf[m, :n]
+            idxs = self.mp_obs_idx[m, :n]
+            descs = self.kf_desc[kfs, idxs]  # (n, 8)
+            if n == 1:
+                self.mp_desc[m] = descs[0]
+                continue
+            d = _hamming_np(descs[:, None, :], descs[None, :, :])  # (n, n)
+            med = np.median(d, axis=1)
+            self.mp_desc[m] = descs[int(np.argmin(med))]
+
+    def update_normal_and_depth(self, mp_ids) -> None:
+        """Mean viewing direction + scale-invariance distance band
+        (reference: MapPoint::UpdateNormalAndDepth, MapPoint.cc:570-638)."""
+        sf = self.config.orb.scale_factor
+        n_levels = self.config.orb.n_levels
+        for m in np.atleast_1d(mp_ids):
+            n = self.mp_n_obs[m]
+            if n == 0 or not self.mp_valid[m]:
+                continue
+            kfs = self.mp_obs_kf[m, :n]
+            pos = self.mp_pos[m]
+            centers = np.stack([self.kf_camera_center(k) for k in kfs])
+            vecs = pos[None] - centers
+            norms = np.linalg.norm(vecs, axis=-1, keepdims=True)
+            self.mp_normal[m] = (vecs / np.maximum(norms, 1e-9)).mean(axis=0)
+            nrm = np.linalg.norm(self.mp_normal[m])
+            if nrm > 1e-9:
+                self.mp_normal[m] /= nrm
+            ref = self.mp_ref_kf[m]
+            if ref < 0 or not self.kf_valid[ref]:
+                ref = kfs[0]
+                self.mp_ref_kf[m] = ref
+            ref_slot = np.nonzero(kfs == ref)[0]
+            idx = self.mp_obs_idx[m, ref_slot[0] if ref_slot.size else 0]
+            dist = float(np.linalg.norm(pos - self.kf_camera_center(ref)))
+            level = int(self.kf_octave[ref, idx])
+            self.mp_max_dist[m] = dist * (sf ** level)
+            self.mp_min_dist[m] = self.mp_max_dist[m] / (sf ** (n_levels - 1))
+
+    # ------------------------------------------------------------------
+    # covisibility graph / spanning tree
+    # ------------------------------------------------------------------
+
+    def update_connections(self, kf: int) -> None:
+        """Recount shared observations between `kf` and all other KFs
+        (reference: KeyFrame::UpdateConnections, KeyFrame.cc:456-596).
+        Vectorized: gather all observers of kf's points and bincount."""
+        mps = self.kf_mp[kf]
+        mps = mps[(mps >= 0)]
+        mps = mps[self.mp_valid[mps]]
+        counts = np.zeros(self.KF_CAP, np.int64)
+        if mps.size:
+            obs = self.mp_obs_kf[mps]  # (n, O)
+            obs = obs[obs >= 0]
+            np.add.at(counts, obs, 1)
+        counts[kf] = 0
+        counts[~self.kf_valid] = 0
+        # threshold at 15 but always keep the best neighbor (reference :520-545)
+        w = counts.astype(np.int32)
+        keep = w >= COVIS_TH
+        if not keep.any() and w.max(initial=0) > 0:
+            keep[np.argmax(w)] = True
+        w = np.where(keep, w, 0)
+        self.covis[kf, :] = w
+        self.covis[:, kf] = w
+        # spanning tree: first connection sets parent = best covisible
+        if self.parent[kf] < 0 and kf != self.origin_kf and w.max(initial=0) > 0:
+            self.parent[kf] = int(np.argmax(w))
+
+    def get_covisible(self, kf: int, k: Optional[int] = None) -> np.ndarray:
+        """Best covisible keyframes ordered by weight (reference:
+        KeyFrame::GetBestCovisibilityKeyFrames)."""
+        w = self.covis[kf]
+        ids = np.nonzero(w > 0)[0]
+        order = ids[np.argsort(-w[ids], kind="stable")]
+        return order[:k] if k is not None else order
+
+    def children_of(self, kf: int) -> np.ndarray:
+        return np.nonzero((self.parent == kf) & self.kf_valid)[0]
+
+    def add_loop_edge(self, a: int, b: int) -> None:
+        self.loop_edges.add((min(a, b), max(a, b)))
+        self.kf_not_erase[a] = True  # KFs with loop edges are never culled
+        self.kf_not_erase[b] = True
+
+    def erase_keyframe(self, kf: int) -> None:
+        """Cull a redundant keyframe (reference: KeyFrame::SetBadFlag,
+        KeyFrame.cc:703-842): drop observations, splice the spanning tree
+        by re-parenting children to the best covisible candidate among
+        (parent chain + already-reparented siblings)."""
+        if kf == self.origin_kf or not self.kf_valid[kf]:
+            return
+        if self.kf_not_erase[kf]:
+            self.kf_pending_erase[kf] = True
+            return
+        # erase observations
+        for idx in np.nonzero(self.kf_mp[kf] >= 0)[0]:
+            mp = self.kf_mp[kf, idx]
+            if self.mp_valid[mp]:
+                self.erase_observation(mp, kf)
+        # reparent children: greedy max-covisibility to candidate set
+        # initialized with this KF's parent (reference :760-830)
+        children = list(self.children_of(kf))
+        candidates = [self.parent[kf]] if self.parent[kf] >= 0 else [self.origin_kf]
+        while children:
+            best = None  # (weight, child, candidate)
+            for c in children:
+                for cand in candidates:
+                    w = self.covis[c, cand]
+                    if w > 0 and (best is None or w > best[0]):
+                        best = (w, c, cand)
+            if best is None:
+                break
+            _, c, cand = best
+            self.parent[c] = cand
+            candidates.append(c)
+            children.remove(c)
+        for c in children:  # orphans adopt the grandparent
+            self.parent[c] = candidates[0]
+        # drop graph edges
+        self.covis[kf, :] = 0
+        self.covis[:, kf] = 0
+        self.kf_valid[kf] = False
+        self.parent[kf] = -1
+
+    def set_not_erase(self, kf: int, flag: bool) -> None:
+        if flag:
+            self.kf_not_erase[kf] = True
+        else:
+            has_loop = any(kf in e for e in self.loop_edges)
+            if not has_loop:
+                self.kf_not_erase[kf] = False
+                if self.kf_pending_erase[kf]:
+                    self.kf_pending_erase[kf] = False
+                    self.erase_keyframe(kf)
+
+    # ------------------------------------------------------------------
+    # queries used by tracking / mapping
+    # ------------------------------------------------------------------
+
+    def local_keyframes(self, frame_mps: np.ndarray, max_kfs: int = 80) -> Tuple[np.ndarray, int]:
+        """Keyframes sharing observations with the given map points, plus
+        one-hop covisibility extension, capped at 80 (reference:
+        Tracking::UpdateLocalKeyFrames, Tracking.cc:2045-2190). Returns
+        (kf_ids, ref_kf = max-sharing keyframe)."""
+        mps = frame_mps[frame_mps >= 0]
+        mps = mps[self.mp_valid[mps]]
+        counts = np.zeros(self.KF_CAP, np.int64)
+        if mps.size:
+            obs = self.mp_obs_kf[mps]
+            obs = obs[obs >= 0]
+            np.add.at(counts, obs, 1)
+        counts[~self.kf_valid] = 0
+        seeds = np.nonzero(counts > 0)[0]
+        if seeds.size == 0:
+            return np.empty(0, np.int64), -1
+        ref_kf = int(seeds[np.argmax(counts[seeds])])
+        chosen = list(seeds[np.argsort(-counts[seeds], kind="stable")][:max_kfs])
+        chosen_set = set(chosen)
+        for k in list(chosen):
+            if len(chosen_set) >= max_kfs:
+                break
+            for nb in self.get_covisible(k, 10):
+                if nb not in chosen_set:
+                    chosen_set.add(int(nb))
+                    if len(chosen_set) >= max_kfs:
+                        break
+            # include children + parent (reference :2160-2185)
+            for nb in list(self.children_of(k))[:2]:
+                chosen_set.add(int(nb))
+            if self.parent[k] >= 0:
+                chosen_set.add(int(self.parent[k]))
+        return np.fromiter(chosen_set, np.int64), ref_kf
+
+    def points_of_keyframes(self, kf_ids) -> np.ndarray:
+        """Unique valid map point ids observed by the given keyframes."""
+        mps = self.kf_mp[kf_ids].ravel()
+        mps = mps[mps >= 0]
+        mps = np.unique(mps)
+        return mps[self.mp_valid[mps]]
+
+    def checkpoint(self) -> dict:
+        """Serializable full-map snapshot (the reference lists SaveMap as an
+        unimplemented TODO, System.h:149-152; arrays serialize trivially)."""
+        out = {}
+        for name in ("kf_valid kf_Tcw kf_xy kf_octave kf_angle kf_response kf_desc "
+                     "kf_kp_valid kf_ur kf_depth kf_mp kf_frame_id kf_timestamp "
+                     "covis parent mp_valid mp_pos mp_normal mp_desc mp_min_dist "
+                     "mp_max_dist mp_ref_kf mp_first_kf mp_visible mp_found "
+                     "mp_obs_kf mp_obs_idx mp_n_obs").split():
+            out[name] = getattr(self, name)
+        out["n_kf"] = self.n_kf
+        out["n_mp"] = self.n_mp
+        out["loop_edges"] = np.asarray(sorted(self.loop_edges), np.int64).reshape(-1, 2)
+        return out
+
+    @classmethod
+    def restore(cls, config: SlamConfig, data: dict) -> "MapStore":
+        ms = cls(config)
+        for k, v in data.items():
+            if k == "loop_edges":
+                ms.loop_edges = {tuple(e) for e in np.asarray(v).reshape(-1, 2)}
+            elif k in ("n_kf", "n_mp"):
+                setattr(ms, k, int(v))
+            else:
+                getattr(ms, k)[...] = v
+        ms._mp_free = [i for i in range(ms.n_mp) if not ms.mp_valid[i]]
+        return ms

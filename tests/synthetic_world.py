@@ -1,0 +1,130 @@
+"""Synthetic multi-plane world renderer for end-to-end SLAM tests.
+
+Renders a camera moving through a scene of textured fronto-parallel planes
+by exact ray-plane intersection + bilinear texture sampling, providing
+pixel-accurate ground-truth trajectories without any dataset files
+(SURVEY.md section 4: synthetic-scene integration tests with known
+trajectory and bounded ATE).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_texture(size=2048, seed=0, n_blobs=4000, blur=1.0):
+    rng = np.random.default_rng(seed)
+    img = np.full((size, size), 60.0, np.float32)
+    ys = rng.integers(0, size - 12, n_blobs)
+    xs = rng.integers(0, size - 12, n_blobs)
+    for y, x in zip(ys, xs):
+        s = rng.integers(3, 11)
+        img[y:y + s, x:x + s] = rng.uniform(20, 240)
+    if blur > 0:
+        try:
+            from scipy.ndimage import gaussian_filter
+            img = gaussian_filter(img, blur)
+        except ImportError:
+            pass
+    return img.astype(np.float32)
+
+
+class PlanesWorld:
+    """Two textured planes at different depths (non-degenerate for F-based
+    monocular init; set z1 == z2 for a homography scene)."""
+
+    def __init__(self, fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                 width=640, height=480, z_near=6.0, z_far=10.0,
+                 split_x=0.0, texture_seed=0, tex_scale=220.0):
+        self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.width, self.height = width, height
+        self.z_near, self.z_far = z_near, z_far
+        self.split_x = split_x
+        self.tex = make_texture(seed=texture_seed)
+        self.tex_scale = tex_scale  # texture pixels per world unit
+
+    def _sample_texture(self, xw, yw, zw):
+        # offset per plane so the two planes carry different texture regions
+        size = self.tex.shape[0]
+        off = np.where(zw > (self.z_near + self.z_far) / 2, size // 2, 0)
+        tx = xw * self.tex_scale + size // 2 + off * 0.5
+        ty = yw * self.tex_scale + size // 2
+        tx = np.clip(tx, 0, size - 2)
+        ty = np.clip(ty, 0, size - 2)
+        x0 = tx.astype(np.int32)
+        y0 = ty.astype(np.int32)
+        ax = tx - x0
+        ay = ty - y0
+        t = self.tex
+        return ((1 - ax) * (1 - ay) * t[y0, x0] + ax * (1 - ay) * t[y0, x0 + 1]
+                + (1 - ax) * ay * t[y0 + 1, x0] + ax * ay * t[y0 + 1, x0 + 1])
+
+    def render(self, Tcw: np.ndarray) -> np.ndarray:
+        """Render a (H, W) float32 grayscale image from world->cam pose."""
+        H, W = self.height, self.width
+        us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
+        # camera ray directions in world frame
+        d_c = np.stack([(us - self.cx) / self.fx, (vs - self.cy) / self.fy,
+                        np.ones_like(us)], axis=-1)
+        R = Tcw[:3, :3]
+        t = Tcw[:3, 3]
+        C = -R.T @ t
+        d_w = d_c @ R  # (H, W, 3) = R^T d_c
+
+        def hit(z_plane):
+            lam = (z_plane - C[2]) / np.where(np.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
+            p = C[None, None, :] + lam[..., None] * d_w
+            return p, lam
+
+        p_near, lam_near = hit(self.z_near)
+        p_far, lam_far = hit(self.z_far)
+        use_near = p_near[..., 0] < self.split_x
+        p = np.where(use_near[..., None], p_near, p_far)
+        lam = np.where(use_near, lam_near, lam_far)
+        img = self._sample_texture(p[..., 0], p[..., 1], p[..., 2])
+        img = np.where(lam > 0, img, 0.0)
+        return img.astype(np.float32)
+
+    def render_depth(self, Tcw: np.ndarray) -> np.ndarray:
+        """Depth map (z in camera frame) for RGB-D tests."""
+        H, W = self.height, self.width
+        us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
+        d_c = np.stack([(us - self.cx) / self.fx, (vs - self.cy) / self.fy,
+                        np.ones_like(us)], axis=-1)
+        R = Tcw[:3, :3]
+        t = Tcw[:3, 3]
+        C = -R.T @ t
+        d_w = d_c @ R
+
+        def hit(z_plane):
+            lam = (z_plane - C[2]) / np.where(np.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
+            p = C[None, None, :] + lam[..., None] * d_w
+            return p, lam
+
+        p_near, lam_near = hit(self.z_near)
+        p_far, lam_far = hit(self.z_far)
+        use_near = p_near[..., 0] < self.split_x
+        p = np.where(use_near[..., None], p_near, p_far)
+        # camera-frame depth of the hit point
+        pc = p @ R.T + t
+        return np.maximum(pc[..., 2], 0.0).astype(np.float32)
+
+
+def smooth_trajectory(n_frames: int, step=0.04, yaw_amp=0.02, y_amp=0.05, seed=0):
+    """Ground-truth world->cam poses for a sideways-dominant smooth path."""
+    from orb_slam2_detailed_comments_tpu.geometry import exp_so3, make_se3
+    import jax.numpy as jnp
+
+    poses = []
+    for i in range(n_frames):
+        x = step * i
+        y = y_amp * np.sin(2 * np.pi * i / max(n_frames, 1) * 2)
+        z = 0.0
+        yaw = yaw_amp * np.sin(2 * np.pi * i / max(n_frames, 1))
+        R = np.asarray(exp_so3(jnp.asarray([0.0, yaw, 0.0], dtype=jnp.float32)))
+        C = np.array([x, y, z], np.float32)
+        t = -R @ C
+        poses.append(np.asarray(make_se3(jnp.asarray(R), jnp.asarray(t)), np.float32))
+    return np.stack(poses)

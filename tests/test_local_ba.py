@@ -129,3 +129,24 @@ class TestLocalBA:
         cams2, pts2, _ = local_bundle_adjustment(prob_pad, CAM, INV_SIGMA2)
         np.testing.assert_allclose(np.asarray(cams2)[:C], np.asarray(cams1), atol=1e-4)
         np.testing.assert_allclose(np.asarray(pts2)[:P], np.asarray(pts1), atol=1e-3)
+
+
+class TestGlobalBA:
+    def test_matches_dense_schur(self):
+        from orb_slam2_detailed_comments_tpu.optim.global_ba import global_bundle_adjustment
+        prob, cams_true, pts_true = build_synthetic_ba(seed=5, noise_px=0.0)
+        cams, pts, inlier = global_bundle_adjustment(prob, CAM, INV_SIGMA2, n_iters=15, cg_iters=60)
+        cams = np.asarray(cams)
+        for c in range(2, len(cams)):
+            np.testing.assert_allclose(cams[c], cams_true[c], atol=2e-4)
+        err = np.linalg.norm(np.asarray(pts) - pts_true, axis=-1)
+        assert np.median(err) < 1e-3, np.median(err)
+
+    def test_outliers(self):
+        from orb_slam2_detailed_comments_tpu.optim.global_ba import global_bundle_adjustment
+        prob, cams_true, pts_true = build_synthetic_ba(seed=6, n_outliers=60)
+        cams, pts, inlier = global_bundle_adjustment(prob, CAM, INV_SIGMA2)
+        cams = np.asarray(cams)
+        for c in range(2, len(cams)):
+            np.testing.assert_allclose(cams[c], cams_true[c], atol=2e-2)
+        assert (~np.asarray(inlier)).sum() >= 40

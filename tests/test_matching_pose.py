@@ -98,7 +98,9 @@ class TestProjectionSearch:
     def test_project_and_cull(self):
         rng, pts = self._scene()
         Tcw = np.eye(4, dtype=np.float32)
-        normals = np.tile([0, 0, -1.0], (len(pts), 1)).astype(np.float32)
+        # normals point camera->point (reference: UpdateNormalAndDepth
+        # averages pos - camera_center, MapPoint.cc:570-638)
+        normals = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
         proj = project_and_cull(
             jnp.asarray(pts), jnp.ones(len(pts), bool), jnp.asarray(normals),
             jnp.full(len(pts), 0.5), jnp.full(len(pts), 50.0),
@@ -118,7 +120,7 @@ class TestProjectionSearch:
         inb = (uv[:, 0] >= 0) & (uv[:, 0] < 640) & (uv[:, 1] >= 0) & (uv[:, 1] < 480)
         # keypoints = projections + 1px noise
         kp_xy = (uv + rng.normal(0, 1.0, uv.shape)).astype(np.float32)
-        normals = np.tile([0, 0, -1.0], (n, 1)).astype(np.float32)
+        normals = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
         dists = np.linalg.norm(pts, axis=-1)
         proj = project_and_cull(
             jnp.asarray(pts), jnp.ones(n, bool), jnp.asarray(normals),

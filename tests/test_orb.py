@@ -151,7 +151,7 @@ class TestExtractor:
     def test_rotation_invariance(self):
         pytest.importorskip("scipy")
         from scipy.ndimage import rotate
-        base = textured_image(seed=9, n_blobs=80)
+        base = textured_image(seed=9, n_blobs=140)
         ang = 30.0
         rot = rotate(base, ang, reshape=False, order=1, mode="nearest").astype(np.float32)
         kp1 = extract_orb(jnp.asarray(base), self.CFG)
@@ -159,16 +159,20 @@ class TestExtractor:
         v1, v2 = np.asarray(kp1.valid), np.asarray(kp2.valid)
         xy1 = np.asarray(kp1.xy)[v1]
         d1 = np.asarray(kp1.desc)[v1]
+        o1 = np.asarray(kp1.octave)[v1]
         xy2 = np.asarray(kp2.xy)[v2]
         d2 = np.asarray(kp2.desc)[v2]
-        # map kp1 into rotated frame (rotate about image center by -ang)
+        o2 = np.asarray(kp2.octave)[v2]
+        # map kp1 into rotated-image coords (scipy rotate convention) and
+        # pair same-octave nearest neighbors
         c = np.array([320 / 2 - 0.5, 240 / 2 - 0.5])
         th = np.deg2rad(ang)
         R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
-        xy1r = (xy1 - c) @ R.T + c
+        xy1r = (xy1 - c) @ R + c
         dists = np.linalg.norm(xy1r[:, None] - xy2[None, :], axis=-1)
+        dists[o1[:, None] != o2[None, :]] = 1e9
         nn = dists.argmin(axis=1)
         ok = dists[np.arange(len(nn)), nn] < 2.0
-        assert ok.sum() > 30
+        assert ok.sum() > 20
         dh = np.asarray(hamming_distance_pairs(jnp.asarray(d1[ok]), jnp.asarray(d2[nn[ok]])))
         assert np.median(dh) < 64, f"median hamming under rotation {np.median(dh)}"
