@@ -1,0 +1,92 @@
+"""Benchmark: per-frame tracking throughput of the fused device program.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference claims real-time tracking at 30 fps on TUM-class
+input (640x480, 1000 ORB features) on a desktop i7 (BASELINE.md). We run
+the flagship fused tracking step (ORB pyramid + FAST + BRIEF + local-map
+projection matching + IRLS pose GN) on identical-sized synthetic input and
+report steady-state frames/sec on one chip. vs_baseline = fps / 30.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def make_consistent_inputs(seed=0):
+    """Synthetic frame + a local map whose descriptors actually match the
+    frame's keypoints (so the matching/pose path does real work)."""
+    import jax.numpy as jnp
+    from orb_slam2_detailed_comments_tpu.geometry.camera import PinholeCamera
+    from orb_slam2_detailed_comments_tpu.ops.orb import extract_orb
+    from orb_slam2_detailed_comments_tpu.utils.config import OrbConfig
+    from orb_slam2_detailed_comments_tpu.models.slam_step import LOCAL_MP_CAP
+
+    rng = np.random.default_rng(seed)
+    h, w = 480, 640
+    img = np.full((h, w), 40.0, np.float32)
+    ys = rng.integers(10, h - 12, 2500)
+    xs = rng.integers(10, w - 12, 2500)
+    for y, x in zip(ys, xs):
+        s = rng.integers(3, 10)
+        img[y:y + s, x:x + s] = rng.uniform(60, 250)
+
+    orb = OrbConfig(n_features=1000, max_keypoints=2048)
+    cam = PinholeCamera(fx=517.3, fy=516.5, cx=318.6, cy=255.3, width=w, height=h)
+    kp = extract_orb(jnp.asarray(img), orb)
+    kp_xy = np.asarray(kp.xy)
+    kp_desc = np.asarray(kp.desc)
+    kp_valid = np.asarray(kp.valid)
+
+    P = LOCAL_MP_CAP
+    depth = rng.uniform(4.0, 8.0, P).astype(np.float32)
+    idx = rng.integers(0, kp_xy.shape[0], P)
+    x3 = (kp_xy[idx, 0] - cam.cx) / cam.fx * depth
+    y3 = (kp_xy[idx, 1] - cam.cy) / cam.fy * depth
+    pos = np.stack([x3, y3, depth], -1).astype(np.float32)
+    normal = pos / np.linalg.norm(pos, axis=-1, keepdims=True)
+    dists = np.linalg.norm(pos, axis=-1)
+    desc = kp_desc[idx]
+    valid = kp_valid[idx]
+
+    return (jnp.asarray(img), jnp.eye(4, dtype=jnp.float32), jnp.asarray(pos),
+            jnp.asarray(normal), jnp.asarray(0.3 * dists), jnp.asarray(3.0 * dists),
+            jnp.asarray(desc), jnp.asarray(valid)), orb, cam
+
+
+def main():
+    import jax
+    from orb_slam2_detailed_comments_tpu.models.slam_step import mono_tracking_step
+
+    args, orb, cam = make_consistent_inputs()
+
+    def step(a):
+        return mono_tracking_step(*a, orb=orb, cam=cam)
+
+    # warmup / compile
+    out = step(args)
+    jax.block_until_ready(out)
+    n_in = int(out[3])
+
+    # steady state
+    n_iters = 50
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = step(args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(json.dumps({
+        "metric": "tracking_fps_640x480_1000feat",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+        "extra": {"n_inliers": n_in, "latency_ms": round(1e3 * dt / n_iters, 3)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

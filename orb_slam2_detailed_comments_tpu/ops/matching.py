@@ -69,8 +69,10 @@ def resolve_duplicate_targets(match: MatchResult, n_targets: int):
     ORBmatcher.cc:628-648). Ties broken by source index."""
     a = match.idx.shape[0]
     src_ids = jnp.arange(a, dtype=jnp.int32)
-    key = jnp.where(match.ok, match.dist * a + src_ids, INF_DIST * a)
-    best_key = jnp.full((n_targets,), INF_DIST * a, dtype=key.dtype).at[match.idx].min(key)
+    # key = dist * A + src (dist clipped to <= 257 so the key fits int32)
+    big = jnp.int32(1 << 30)
+    key = jnp.where(match.ok, jnp.minimum(match.dist, 257) * a + src_ids, big)
+    best_key = jnp.full((n_targets,), big, dtype=key.dtype).at[match.idx].min(key)
     keep = match.ok & (key == best_key[match.idx])
     return MatchResult(idx=match.idx, dist=match.dist, ok=keep)
 
