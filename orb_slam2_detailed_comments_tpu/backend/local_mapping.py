@@ -384,6 +384,21 @@ class LocalMapper:
         for i, c in enumerate(cams):
             if c <= self.map.origin_kf + 1:
                 cam_free[i] = False
+        # gauge anchoring: monocular BA needs >= 2 fixed cameras — one fixed
+        # camera pins 6 DoF but leaves the SCALE gauge free, and a window
+        # with a free scale inflates a little on every invocation until the
+        # map explodes (a failure mode the reference only avoids because its
+        # windows usually contain many out-of-window observers). Pin the
+        # oldest cameras until at least two are fixed.
+        n_fixed = int((~cam_free[:len(cams)]).sum())
+        if n_fixed < 2 and len(cams) > 2:
+            order = np.argsort([cams[i] for i in range(len(cams))])
+            for i in order:
+                if cam_free[i]:
+                    cam_free[i] = False
+                    n_fixed += 1
+                if n_fixed >= 2:
+                    break
         cam_valid = np.zeros(C, bool)
         cam_valid[:len(cams)] = True
 

@@ -25,6 +25,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..utils.config import SlamConfig
+from . import native_ops
 from .frame import FrameData
 
 COVIS_TH = 15  # minimum shared observations for a covisibility edge
@@ -124,6 +125,12 @@ class MapStore:
         R = self.kf_Tcw[k, :3, :3]
         t = self.kf_Tcw[k, :3, 3]
         return -R.T @ t
+
+    def all_camera_centers(self) -> np.ndarray:
+        """(KF_CAP, 3) camera centers (invalid rows are garbage)."""
+        R = self.kf_Tcw[:, :3, :3]
+        t = self.kf_Tcw[:, :3, 3]
+        return -np.einsum("kij,ki->kj", R, t).astype(np.float32)
 
     # ------------------------------------------------------------------
     # map points
@@ -275,10 +282,21 @@ class MapStore:
 
     def update_normal_and_depth(self, mp_ids) -> None:
         """Mean viewing direction + scale-invariance distance band
-        (reference: MapPoint::UpdateNormalAndDepth, MapPoint.cc:570-638)."""
+        (reference: MapPoint::UpdateNormalAndDepth, MapPoint.cc:570-638).
+        Native C++ kernel when available; numpy fallback otherwise."""
+        mp_ids = np.atleast_1d(np.asarray(mp_ids))
+        if mp_ids.size and native_ops.available():
+            # fix dangling ref_kf before handing to native code
+            for m in mp_ids:
+                ref = self.mp_ref_kf[m]
+                if (ref < 0 or not self.kf_valid[ref]) and self.mp_n_obs[m] > 0:
+                    self.mp_ref_kf[m] = self.mp_obs_kf[m, 0]
+            centers = self.all_camera_centers()
+            if native_ops.update_normal_and_depth(self, mp_ids, centers):
+                return
         sf = self.config.orb.scale_factor
         n_levels = self.config.orb.n_levels
-        for m in np.atleast_1d(mp_ids):
+        for m in mp_ids:
             n = self.mp_n_obs[m]
             if n == 0 or not self.mp_valid[m]:
                 continue

@@ -49,15 +49,18 @@ class PlanesWorld:
         off = np.where(zw > (self.z_near + self.z_far) / 2, size // 2, 0)
         tx = xw * self.tex_scale + size // 2 + off * 0.5
         ty = yw * self.tex_scale + size // 2
-        tx = np.clip(tx, 0, size - 2)
-        ty = np.clip(ty, 0, size - 2)
-        x0 = tx.astype(np.int32)
-        y0 = ty.astype(np.int32)
-        ax = tx - x0
-        ay = ty - y0
+        # wrap (tile) so the world is textured everywhere
+        x0 = np.floor(tx).astype(np.int64)
+        y0 = np.floor(ty).astype(np.int64)
+        ax = (tx - x0).astype(np.float32)
+        ay = (ty - y0).astype(np.float32)
+        x0m = np.mod(x0, size)
+        y0m = np.mod(y0, size)
+        x1m = np.mod(x0 + 1, size)
+        y1m = np.mod(y0 + 1, size)
         t = self.tex
-        return ((1 - ax) * (1 - ay) * t[y0, x0] + ax * (1 - ay) * t[y0, x0 + 1]
-                + (1 - ax) * ay * t[y0 + 1, x0] + ax * ay * t[y0 + 1, x0 + 1])
+        return ((1 - ax) * (1 - ay) * t[y0m, x0m] + ax * (1 - ay) * t[y0m, x1m]
+                + (1 - ax) * ay * t[y1m, x0m] + ax * ay * t[y1m, x1m])
 
     def render(self, Tcw: np.ndarray) -> np.ndarray:
         """Render a (H, W) float32 grayscale image from world->cam pose."""
