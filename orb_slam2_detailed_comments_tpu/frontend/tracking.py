@@ -184,8 +184,11 @@ class Tracker:
             self.state = TrackingState.OK
             # motion model: velocity = Tcw_cur * Twc_last
             if self.last_frame is not None and self.last_frame.Tcw is not None:
+                from ..geometry.se3 import se3_renormalize
                 Twc_last = np.asarray(se3_inverse(jnp.asarray(self.last_frame.Tcw)))
-                self.velocity = frame.Tcw @ Twc_last
+                # renormalize: raw 4x4 products amplify orthonormality error
+                # exponentially over frames (see geometry.se3.se3_renormalize)
+                self.velocity = np.asarray(se3_renormalize(jnp.asarray(frame.Tcw @ Twc_last)))
             if not self.localization_only and self._need_new_keyframe(frame):
                 with self.timer.stage("create_keyframe"):
                     self._create_new_keyframe(frame)
@@ -507,8 +510,12 @@ class Tracker:
         if frame.frame_id < self.last_reloc_frame_id + self.config.max_frames and n_kfs > self.config.max_frames:
             return False
 
-        # tracked-in-reference count at minObs (reference :1648-1656)
-        min_obs = 3 if n_kfs > 2 else 2
+        # tracked-in-reference count at minObs (reference :1648-1656 uses
+        # minObs=2 when <=2 KFs, but a fresh stereo/RGB-D map's points have
+        # exactly ONE observation, making nRefMatches 0 and disabling the
+        # ratio trigger entirely — we use minObs=1 there, which strictly
+        # improves early keyframe insertion)
+        min_obs = 3 if n_kfs > 2 else 1
         ref = frame.ref_kf if frame.ref_kf >= 0 else self.last_kf_id
         ref_mps = self.map.kf_mp[ref]
         ref_mps = ref_mps[ref_mps >= 0]
@@ -526,16 +533,22 @@ class Tracker:
             untracked_close = int((close & ~matched).sum())
             need_close = tracked_close < 100 and untracked_close > 70
 
+        # reference drops to 0.4 when nKFs<2 (:1717-1718) to limit early
+        # keyframes, but that starves a fresh stereo/RGB-D map whose close-
+        # point trigger doesn't fire (scenes with uniform depth): with one
+        # KF the map never extends and tracking degrades at the map edge.
+        # Our synchronous mapper + culling handle early keyframes fine, so
+        # we keep the standard ratio from the start.
         th_ratio = 0.9 if self.sensor == Sensor.MONOCULAR else 0.75
-        if n_kfs < 2:
-            th_ratio = 0.4
-        if need_close:
-            th_ratio = 0.9
 
+        # reference decision: (c1a || c1b || c1c) && c2 (:1729-1740);
+        # mapping is synchronous here so "idle" is always true in c1b
         c1a = frame.frame_id >= self.last_kf_frame_id + self.config.max_frames
         c1b = frame.frame_id >= self.last_kf_frame_id + self.config.min_frames
+        c1c = self.sensor != Sensor.MONOCULAR and (
+            n_matches < ref_tracked * 0.25 or need_close)
         c2 = (n_matches < ref_tracked * th_ratio or need_close) and n_matches > 15
-        return (c1a or c1b or need_close) and c2
+        return (c1a or c1b or c1c) and c2
 
     def _create_new_keyframe(self, frame: FrameData):
         """reference: Tracking::CreateNewKeyFrame (Tracking.cc:1753-1870)."""

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .so3 import exp_so3, log_so3, left_jacobian_so3, left_jacobian_inv_so3
+from .so3 import (exp_so3, log_so3, left_jacobian_so3, left_jacobian_inv_so3,
+                  quat_to_rotmat, rotmat_to_quat)
 
 
 def se3_identity(dtype=jnp.float32):
@@ -49,6 +50,20 @@ def se3_apply(T, p):
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     return p @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+
+
+def se3_renormalize(T):
+    """Project the rotation block back onto SO(3) via a quaternion
+    round-trip (the float32 equivalent of g2o's SE3Quat normalization).
+
+    Composing raw 4x4 matrices (velocity = Tcw_cur inv(Tcw_last), pose
+    prediction, repeated GN left-updates) amplifies any orthonormality
+    error multiplicatively — left unchecked it grows exponentially
+    (~2.4x/frame measured) until the 'rotation' carries percent-level
+    scale/shear that reprojection optimizers happily fit. Call this at
+    every optimizer boundary."""
+    R = quat_to_rotmat(rotmat_to_quat(T[..., :3, :3]))
+    return make_se3(R, T[..., :3, 3])
 
 
 def exp_se3(xi):

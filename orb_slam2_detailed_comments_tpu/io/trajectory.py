@@ -26,11 +26,9 @@ def _resolve_ref(ms: MapStore, ref: int) -> Tuple[np.ndarray, int]:
     while ref >= 0 and not ms.kf_valid[ref]:
         parent = int(ms.parent[ref])
         if parent < 0:
-            break
-        # Tcr_culled = Tcw_culled * Twp(parent)
-        Tcw_c = ms.kf_Tcw[ref]
-        Tpw = ms.kf_Tcw[parent]
-        Tcorr = Tcorr @ (Tcw_c @ np.linalg.inv(Tpw).astype(np.float32))
+            return Tcorr, -1
+        # relative pose frozen at cull time (reference: mTcp)
+        Tcorr = Tcorr @ ms.kf_Tcp[ref]
         ref = parent
     return Tcorr, ref
 

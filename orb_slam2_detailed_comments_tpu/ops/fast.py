@@ -54,6 +54,15 @@ def _rolling_min_9(d):
     return m9
 
 
+def fast_score_dense(img):
+    """Unthresholded dense FAST arc score (used for sub-pixel refinement)."""
+    ring = _ring_stack(img)
+    d = ring - img[None]
+    bright_min = _rolling_min_9(d)
+    dark_min = _rolling_min_9(-d)
+    return jnp.maximum(jnp.max(bright_min, axis=0), jnp.max(dark_min, axis=0))
+
+
 def fast_score_map(img, threshold: float):
     """Dense FAST-9/16 corner score.
 
@@ -66,15 +75,7 @@ def fast_score_map(img, threshold: float):
       largest threshold at which the pixel would still pass the segment
       test (same definition as OpenCV's cornerScore used by the reference).
     """
-    ring = _ring_stack(img)  # (16, H, W)
-    d = ring - img[None]     # signed differences
-
-    bright_min = _rolling_min_9(d)          # per-arc min of (I_n - I_p)
-    dark_min = _rolling_min_9(-d)           # per-arc min of (I_p - I_n)
-    score_bright = jnp.max(bright_min, axis=0)
-    score_dark = jnp.max(dark_min, axis=0)
-    score = jnp.maximum(score_bright, score_dark)
-
+    score = fast_score_dense(img)
     corner = score > threshold
     score = jnp.where(corner, score, 0.0)
 

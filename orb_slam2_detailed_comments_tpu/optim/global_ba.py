@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..geometry.se3 import exp_se3
+from ..geometry.se3 import exp_se3, se3_renormalize
 from .local_ba import BAProblem, _edge_terms, _inv3x3, edge_chi2
 from .robust import CHI2_MONO, CHI2_STEREO, DELTA_MONO, DELTA_STEREO, huber_weight
 
@@ -167,6 +167,7 @@ def global_bundle_adjustment(prob: BAProblem, cam, inv_sigma2_levels,
 
     cam_Tcw, points = jax.lax.fori_loop(0, n_iters - n_pre, body_plain,
                                         (cam_Tcw, points))
+    cam_Tcw = se3_renormalize(cam_Tcw)
     chi2, behind = edge_chi2(cam_Tcw, points, prob, cam_params, inv_sigma2_levels)
     inlier = prob.edge_valid & (chi2 <= chi2_th) & ~behind
     return cam_Tcw, points, inlier

@@ -33,7 +33,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry.se3 import exp_se3
+from ..geometry.se3 import exp_se3, se3_renormalize
 from .robust import CHI2_MONO, CHI2_STEREO, DELTA_MONO, DELTA_STEREO, huber_weight
 
 
@@ -233,6 +233,7 @@ def local_bundle_adjustment(prob: BAProblem, cam, inv_sigma2_levels,
     state = jax.lax.fori_loop(0, n_iters_post, iter_body2, (cam_Tcw, points, active))
     cam_Tcw, points, active = state
 
+    cam_Tcw = se3_renormalize(cam_Tcw)
     chi2, behind = edge_chi2(cam_Tcw, points, prob, cam_params, inv_sigma2_levels)
     inlier = prob.edge_valid & (chi2 <= chi2_th) & ~behind
     return cam_Tcw, points, inlier

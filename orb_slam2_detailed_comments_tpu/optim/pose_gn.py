@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..geometry.se3 import exp_se3
+from ..geometry.se3 import exp_se3, se3_renormalize
 from .robust import CHI2_MONO, CHI2_STEREO, DELTA_MONO, DELTA_STEREO, huber_weight
 
 N_ROUNDS = 4        # reference: Optimizer.cc:536 "its[4]"
@@ -131,7 +131,7 @@ def pose_optimization(Tcw0, pts_w, obs_uvr, octave, edge_valid, cam, inv_sigma2_
         active = edge_valid & (chi2 <= chi2_th) & ~behind
         return (Tcw, active)
 
-    state = (Tcw0, edge_valid)
+    state = (se3_renormalize(Tcw0), edge_valid)
     state = jax.lax.fori_loop(0, N_ROUNDS, round_body, state)
     Tcw, inliers = state
-    return Tcw, inliers, jnp.sum(inliers.astype(jnp.int32))
+    return se3_renormalize(Tcw), inliers, jnp.sum(inliers.astype(jnp.int32))

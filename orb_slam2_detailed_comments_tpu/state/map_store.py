@@ -70,6 +70,9 @@ class MapStore:
         # KeyFrame::SetNotErase/SetErase, KeyFrame.h:289-301)
         self.kf_not_erase = np.zeros(KF, bool)
         self.kf_pending_erase = np.zeros(KF, bool)
+        # frozen relative pose to parent at cull time (reference: mTcp,
+        # KeyFrame.cc SetBadFlag) used by trajectory recovery
+        self.kf_Tcp = np.tile(np.eye(4, dtype=np.float32), (KF, 1, 1))
 
         # --- map points ---
         self.mp_valid = np.zeros(MP, bool)
@@ -400,11 +403,18 @@ class MapStore:
             children.remove(c)
         for c in children:  # orphans adopt the grandparent
             self.parent[c] = candidates[0]
-        # drop graph edges
+        # drop graph edges; keep parent[kf] intact and freeze the relative
+        # pose to it — trajectory recovery walks culled keyframes up the
+        # spanning tree via these (reference: SetBadFlag stores mTcp,
+        # KeyFrame.cc:703-842; System.cc:534-556)
+        par = self.parent[kf]
+        if par < 0:
+            par = self.origin_kf
+            self.parent[kf] = par
+        self.kf_Tcp[kf] = self.kf_Tcw[kf] @ np.linalg.inv(self.kf_Tcw[par]).astype(np.float32)
         self.covis[kf, :] = 0
         self.covis[:, kf] = 0
         self.kf_valid[kf] = False
-        self.parent[kf] = -1
 
     def set_not_erase(self, kf: int, flag: bool) -> None:
         if flag:
@@ -467,7 +477,7 @@ class MapStore:
         unimplemented TODO, System.h:149-152; arrays serialize trivially)."""
         out = {}
         for name in ("kf_valid kf_Tcw kf_xy kf_octave kf_angle kf_response kf_desc "
-                     "kf_kp_valid kf_ur kf_depth kf_mp kf_frame_id kf_timestamp "
+                     "kf_kp_valid kf_ur kf_depth kf_mp kf_frame_id kf_timestamp kf_Tcp "
                      "covis parent mp_valid mp_pos mp_normal mp_desc mp_min_dist "
                      "mp_max_dist mp_ref_kf mp_first_kf mp_visible mp_found "
                      "mp_obs_kf mp_obs_idx mp_n_obs").split():

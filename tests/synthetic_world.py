@@ -29,12 +29,26 @@ def make_texture(size=2048, seed=0, n_blobs=4000, blur=1.0):
 
 
 class PlanesWorld:
-    """Two textured planes at different depths (non-degenerate for F-based
-    monocular init; set z1 == z2 for a homography scene)."""
+    """Two textured TILTED planes at different depths.
+
+    The planes are z = z0 + ax*x + ay*y, giving a wide continuous 1/z
+    spread across the field of view — a fronto-parallel pair is nearly
+    degenerate for the tx/yaw sliding mode of pose estimation (residuals
+    stay sub-pixel while the pose drifts along the compensated direction),
+    which is a property of the scene, not the estimator. Set tilt=0 for the
+    degenerate variant, or z_near == z_far and tilt=0 for a pure-homography
+    scene (monocular H-initialization path).
+    """
 
     def __init__(self, fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                  width=640, height=480, z_near=6.0, z_far=10.0,
-                 split_x=0.0, texture_seed=0, tex_scale=220.0):
+                 split_x=0.0, texture_seed=0, tex_scale=100.0,
+                 tilt=(0.25, 0.15)):
+        # tex_scale must keep every visible world point inside the texture:
+        # half-FOV tan = 0.64 -> at z=10 the frustum half-width is 6.4, so
+        # with camera |x| <= ~1.5 the world span is ~ +-8 units; at 100
+        # px/unit the 2048px texture covers +-10.2 units (wrapping would
+        # duplicate texture and cause false feature matches).
         self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.width, self.height = width, height
@@ -42,6 +56,7 @@ class PlanesWorld:
         self.split_x = split_x
         self.tex = make_texture(seed=texture_seed)
         self.tex_scale = tex_scale  # texture pixels per world unit
+        self.tilt = tilt            # (ax, ay) plane slopes dz/dx, dz/dy
 
     def _sample_texture(self, xw, yw, zw):
         # offset per plane so the two planes carry different texture regions
@@ -75,8 +90,19 @@ class PlanesWorld:
         C = -R.T @ t
         d_w = d_c @ R  # (H, W, 3) = R^T d_c
 
-        def hit(z_plane):
-            lam = (z_plane - C[2]) / np.where(np.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
+        p, lam, _ = self._intersect(C, d_w)
+        img = self._sample_texture(p[..., 0], p[..., 1], p[..., 2])
+        img = np.where(lam > 0, img, 0.0)
+        return img.astype(np.float32)
+
+    def _intersect(self, C, d_w):
+        ax, ay = self.tilt
+
+        def hit(z0):
+            # plane z = z0 + ax*x + ay*y
+            den = d_w[..., 2] - ax * d_w[..., 0] - ay * d_w[..., 1]
+            num = z0 + ax * C[0] + ay * C[1] - C[2]
+            lam = num / np.where(np.abs(den) < 1e-9, 1e-9, den)
             p = C[None, None, :] + lam[..., None] * d_w
             return p, lam
 
@@ -85,9 +111,7 @@ class PlanesWorld:
         use_near = p_near[..., 0] < self.split_x
         p = np.where(use_near[..., None], p_near, p_far)
         lam = np.where(use_near, lam_near, lam_far)
-        img = self._sample_texture(p[..., 0], p[..., 1], p[..., 2])
-        img = np.where(lam > 0, img, 0.0)
-        return img.astype(np.float32)
+        return p, lam, use_near
 
     def render_depth(self, Tcw: np.ndarray) -> np.ndarray:
         """Depth map (z in camera frame) for RGB-D tests."""
@@ -101,15 +125,7 @@ class PlanesWorld:
         C = -R.T @ t
         d_w = d_c @ R
 
-        def hit(z_plane):
-            lam = (z_plane - C[2]) / np.where(np.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
-            p = C[None, None, :] + lam[..., None] * d_w
-            return p, lam
-
-        p_near, lam_near = hit(self.z_near)
-        p_far, lam_far = hit(self.z_far)
-        use_near = p_near[..., 0] < self.split_x
-        p = np.where(use_near[..., None], p_near, p_far)
+        p, lam, _ = self._intersect(C, d_w)
         # camera-frame depth of the hit point
         pc = p @ R.T + t
         return np.maximum(pc[..., 2], 0.0).astype(np.float32)

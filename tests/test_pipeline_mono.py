@@ -14,13 +14,14 @@ from orb_slam2_detailed_comments_tpu.utils.config import SlamConfig, OrbConfig
 from synthetic_world import PlanesWorld, smooth_trajectory
 
 
-def run_mono_sequence(n_frames=40, step=0.04, seed=0):
-    world = PlanesWorld(texture_seed=seed)
+def run_mono_sequence(n_frames=32, step=0.05, seed=0):
+    world = PlanesWorld(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
+                        width=320, height=240, texture_seed=seed)
     poses = smooth_trajectory(n_frames, step=step)
     cfg = SlamConfig(
-        camera=PinholeCamera(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
-                             width=640, height=480),
-        orb=OrbConfig(n_features=1000, max_keypoints=2048),
+        camera=PinholeCamera(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
+                             width=320, height=240),
+        orb=OrbConfig(n_features=600, max_keypoints=1024),
         fps=10.0,
         max_keyframes=100,
         max_map_points=30000,
