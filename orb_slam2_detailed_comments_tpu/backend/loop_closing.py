@@ -323,12 +323,21 @@ class LoopCloser:
             e_w.append(w)
 
         def rel(i: int, j: int) -> np.ndarray:
-            """measurement Sji with error log(Sji Si Sj^-1): Sji = Sj Si^-1
-            using CURRENT (post-correction) poses; for edges touching the
-            corrected group the reference uses the uncorrected relative
-            pose (the measurement pre-dates the correction, :1155-1175)."""
+            """Odometry-class measurement Sji (error log(Sji Si Sj^-1)):
+            relative pose from the PRE-correction estimates — spanning-tree /
+            covisibility / old-loop edges encode what odometry measured
+            (reference: Optimizer.cc:1155-1296 uses the poses as stored)."""
             Si = uncorrected.get(i, mp.kf_Tcw[i])
             Sj = uncorrected.get(j, mp.kf_Tcw[j])
+            return (Sj @ np.linalg.inv(Si)).astype(np.float32)
+
+        def rel_corrected(i: int, j: int) -> np.ndarray:
+            """Loop-class measurement: relative pose from the Sim3-CORRECTED
+            poses — this is the new information the loop contributes
+            (reference: the LoopConnections edges use CorrectedSim3,
+            Optimizer.cc:1103-1152)."""
+            Si = corrected.get(i, mp.kf_Tcw[i])
+            Sj = corrected.get(j, mp.kf_Tcw[j])
             return (Sj @ np.linalg.inv(Si)).astype(np.float32)
 
         for k in kfs:
@@ -343,8 +352,8 @@ class LoopCloser:
                 nb = int(nb)
                 if mp.covis[k, nb] >= 100 and nb in slot:
                     add_edge(k, nb, rel(k, nb), 1.0)
-        # the new loop edge (weight like the reference's loop connections)
-        add_edge(kf, loop_kf, rel(kf, loop_kf), 1.0)
+        # the new loop edge carries the corrected relative pose
+        add_edge(kf, loop_kf, rel_corrected(kf, loop_kf), 1.0)
 
         if not e_i:
             return

@@ -69,11 +69,15 @@ def build_drifted_loop(drift_per_kf=0.015, seed=0):
     for k in range(N_KF):
         Tcw = est_poses[k]
         Twc = np.linalg.inv(Tcw)
-        # the last keyframe observes the FIRST segment's points (the loop):
-        # same descriptors, same camera-frame geometry as keyframe 0 saw
-        seg = 0 if k == N_KF - 1 else k
-        pc = seg_pts_cam[seg]
-        desc = seg_desc[seg]
+        # the last keyframe revisits the FIRST segment's WORLD points (the
+        # loop): same descriptors, observed from its ground-truth pose
+        if k == N_KF - 1:
+            w0 = (seg_pts_cam[0] - gt_pose(0)[:3, 3]) @ gt_pose(0)[:3, :3]
+            pc = (w0 @ gt_pose(k)[:3, :3].T + gt_pose(k)[:3, 3]).astype(np.float32)
+            desc = seg_desc[0]
+        else:
+            pc = seg_pts_cam[k]
+            desc = seg_desc[k]
         uv = project(pc)
         n = len(pc)
         frame = FrameData(
@@ -92,33 +96,16 @@ def build_drifted_loop(drift_per_kf=0.015, seed=0):
         frame.desc[:n] = desc
         frame.valid[:n] = True
         kf = ms.add_keyframe(frame)
-        if k == N_KF - 1:
-            # associate with keyframe 0's existing map points -> shared
-            # observations (but NOT enough for covisibility with 0? they
-            # ARE shared; the detector excludes covisible candidates, so
-            # leave only half associated to keep weight below threshold)
-            prev_ids = mp_ids_per_seg[0]
-            for i in range(0, n, 30):  # sparse association: weight ~4 < 15
-                ms.add_observation(int(prev_ids[i]), kf, i)
-            # the rest become new points from the drifted pose
-            ids = []
-            for i in range(n):
-                if ms.kf_mp[kf, i] >= 0:
-                    ids.append(int(ms.kf_mp[kf, i]))
-                    continue
-                pw = (Twc[:3, :3] @ pc[i] + Twc[:3, 3]).astype(np.float32)
-                m = ms.add_map_point(pw, kf)
-                ms.add_observation(m, kf, i)
-                ids.append(m)
-            mp_ids_per_seg.append(np.asarray(ids))
-        else:
-            ids = []
-            for i in range(n):
-                pw = (Twc[:3, :3] @ pc[i] + Twc[:3, 3]).astype(np.float32)
-                m = ms.add_map_point(pw, kf)
-                ms.add_observation(m, kf, i)
-                ids.append(m)
-            mp_ids_per_seg.append(np.asarray(ids))
+        # every keyframe (including the revisiting one) creates its OWN
+        # map points from its drifted pose — a real revisit with drift has
+        # no associations to the old segment until loop closure fuses them
+        ids = []
+        for i in range(n):
+            pw = (Twc[:3, :3] @ pc[i] + Twc[:3, 3]).astype(np.float32)
+            m = ms.add_map_point(pw, kf)
+            ms.add_observation(m, kf, i)
+            ids.append(m)
+        mp_ids_per_seg.append(np.asarray(ids))
         ms.update_point_descriptors(mp_ids_per_seg[-1])
         ms.update_normal_and_depth(mp_ids_per_seg[-1])
         ms.update_connections(kf)
