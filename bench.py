@@ -50,9 +50,14 @@ def make_consistent_inputs(seed=0):
     dists = np.linalg.norm(pos, axis=-1)
     desc = kp_desc[idx]
     valid = kp_valid[idx]
+    # scale band consistent with the source keypoint's octave so the
+    # predicted level matches (reference: MapPoint::UpdateNormalAndDepth)
+    kp_oct = np.asarray(kp.octave)[idx]
+    max_dist = dists * (1.2 ** kp_oct)
+    min_dist = max_dist / (1.2 ** 7)
 
     return (jnp.asarray(img), jnp.eye(4, dtype=jnp.float32), jnp.asarray(pos),
-            jnp.asarray(normal), jnp.asarray(0.3 * dists), jnp.asarray(3.0 * dists),
+            jnp.asarray(normal), jnp.asarray(min_dist), jnp.asarray(max_dist),
             jnp.asarray(desc), jnp.asarray(valid)), orb, cam
 
 

@@ -399,27 +399,69 @@ class Tracker:
         frame.mp[frame.is_outlier] = -1
         return n_in >= 10
 
+    def _last_frame_point_set(self, lf: FrameData):
+        """Matching set for motion-model tracking: the last frame's real map
+        points, augmented with temporal 'visual odometry' points
+        backprojected from close stereo/RGB-D depths of unmatched keypoints
+        (reference: Tracking::UpdateLastFrame, Tracking.cc:1277-1397 —
+        the reference inserts up to 100 nearest temporal points; we include
+        all close ones, they are discarded after pose estimation).
+
+        Returns (pos (N,3), normal, min_d, max_d, desc, valid, real_mp_id)
+        where real_mp_id < 0 marks a temporal point.
+        """
+        has = (lf.mp >= 0) & lf.valid & ~lf.is_outlier
+        mp_ids = np.where(has, lf.mp, 0)
+        has = has & self.map.mp_valid[mp_ids]
+
+        pos = self.map.mp_pos[mp_ids].copy()
+        normal = self.map.mp_normal[mp_ids].copy()
+        min_d = self.map.mp_min_dist[mp_ids].copy()
+        max_d = self.map.mp_max_dist[mp_ids].copy()
+        desc = self.map.mp_desc[mp_ids].copy()
+        real_id = np.where(has, mp_ids, -1).astype(np.int64)
+
+        if self.sensor != Sensor.MONOCULAR and lf.Tcw is not None:
+            vo = lf.valid & ~has & (lf.depth > 0) & (lf.depth < self.th_depth)
+            if vo.any():
+                cam = self.config.camera
+                z = lf.depth
+                x = (lf.xy[:, 0] - cam.cx) / cam.fx * z
+                y = (lf.xy[:, 1] - cam.cy) / cam.fy * z
+                pc = np.stack([x, y, z], -1)
+                Twc = np.linalg.inv(lf.Tcw).astype(np.float32)
+                pw = pc @ Twc[:3, :3].T + Twc[:3, 3]
+                C = Twc[:3, 3]
+                d = np.linalg.norm(pw - C, axis=-1)
+                n = pw - C
+                n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+                sf = self.config.orb.scale_factor
+                maxd = d * (sf ** lf.octave)
+                pos = np.where(vo[:, None], pw, pos)
+                normal = np.where(vo[:, None], n, normal)
+                min_d = np.where(vo, maxd / (sf ** (self.config.orb.n_levels - 1)), min_d)
+                max_d = np.where(vo, maxd, max_d)
+                desc = np.where(vo[:, None], lf.desc, desc)
+                has = has | vo
+        return pos, normal, min_d, max_d, desc, has, real_id
+
     def _track_with_motion_model(self, frame: FrameData) -> bool:
         """reference: Tracking::TrackWithMotionModel (Tracking.cc:1399-1509)."""
         lf = self.last_frame
         frame.Tcw = (self.velocity @ lf.Tcw).astype(np.float32)
 
-        has = (lf.mp >= 0) & lf.valid & ~lf.is_outlier
-        mp_ids = np.where(has, lf.mp, 0)
-        has = has & self.map.mp_valid[mp_ids]
+        pos, normal, min_d, max_d, desc, has, real_id = self._last_frame_point_set(lf)
         th = 7.0 if self.sensor == Sensor.STEREO else 15.0
 
         for radius_mult in (th, 2 * th):
             proj = M.project_and_cull(
-                jnp.asarray(self.map.mp_pos[mp_ids]), jnp.asarray(has),
-                jnp.asarray(self.map.mp_normal[mp_ids]),
-                jnp.asarray(self.map.mp_min_dist[mp_ids]),
-                jnp.asarray(self.map.mp_max_dist[mp_ids]),
+                jnp.asarray(pos), jnp.asarray(has), jnp.asarray(normal),
+                jnp.asarray(min_d), jnp.asarray(max_d),
                 jnp.asarray(frame.Tcw), self.config.camera,
                 self.config.orb.n_levels, self.log_scale,
                 view_cos_limit=-1.0)  # last-frame search has no view-angle gate
             m = M.search_by_projection(
-                proj, jnp.asarray(self.map.mp_desc[mp_ids]),
+                proj, jnp.asarray(desc),
                 jnp.asarray(frame.xy), jnp.asarray(frame.ur),
                 jnp.asarray(frame.desc), jnp.asarray(frame.valid),
                 jnp.asarray(frame.octave), jnp.asarray(self.scale_factors),
@@ -431,11 +473,32 @@ class Tracker:
         if ok.sum() < 20:
             return False
         idx = np.asarray(m.idx)
+
+        # pose optimization over real + temporal points
+        src = np.nonzero(ok)[0]
+        kp_of_src = idx[src]
+        obs = np.concatenate([frame.xy, frame.ur[:, None]], axis=1).astype(np.float32)
+        E = frame.capacity
+        pts_e = np.zeros((E, 3), np.float32)
+        valid_e = np.zeros(E, bool)
+        pts_e[kp_of_src] = pos[src]
+        valid_e[kp_of_src] = True
+        Tcw, inliers, n = pose_optimization(
+            jnp.asarray(frame.Tcw), jnp.asarray(pts_e), jnp.asarray(obs),
+            jnp.asarray(frame.octave), jnp.asarray(valid_e), self.config.camera,
+            jnp.asarray(self.inv_sigma2))
+        frame.Tcw = np.asarray(Tcw)
+        inl = np.asarray(inliers)
+
+        # keep only REAL map point associations (temporal points are
+        # discarded, reference: Tracking.cc:691-719)
         frame.mp[:] = -1
-        frame.mp[idx[ok]] = mp_ids[ok]
-        n_in = self._pose_opt(frame)
-        frame.mp[frame.is_outlier] = -1
-        return n_in >= 10
+        real_src = src[real_id[src] >= 0]
+        keep = inl[idx[real_src]]
+        frame.mp[idx[real_src[keep]]] = real_id[real_src[keep]]
+        frame.is_outlier[:] = False
+        n_real = int((frame.mp >= 0).sum())
+        return int(inl.sum()) >= 10 and n_real >= 5
 
     def _track_local_map(self, frame: FrameData) -> bool:
         """reference: Tracking::TrackLocalMap (Tracking.cc:1514-1595) +

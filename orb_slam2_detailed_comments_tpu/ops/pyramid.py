@@ -27,17 +27,24 @@ def _gauss_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
 
 def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
     """Separable Gaussian blur of a (H, W) float32 image (reflect padding,
-    matching cv::GaussianBlur's BORDER_REFLECT_101 default)."""
-    k = jnp.asarray(_gauss_kernel_1d(ksize, sigma))
+    matching cv::GaussianBlur's BORDER_REFLECT_101 default).
+
+    Implemented as weighted shifted adds rather than conv_general_dilated:
+    a single-channel 1x7 convolution cannot use the MXU, and on TPU the
+    conv path costs ~18ms/frame vs <1ms for the fused VPU form."""
+    k = _gauss_kernel_1d(ksize, sigma)
     r = ksize // 2
+    H, W = img.shape
     x = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
-    # horizontal then vertical 1D convs via conv_general_dilated on NCHW
-    x = x[None, None, :, :]
-    kh = k[None, None, None, :]
-    kv = k[None, None, :, None]
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID")
-    return x[0, 0]
+    # horizontal pass
+    h = k[0] * x[:, 0:W]
+    for i in range(1, ksize):
+        h = h + k[i] * x[:, i:i + W]
+    # vertical pass
+    v = k[0] * h[0:H, :]
+    for i in range(1, ksize):
+        v = v + k[i] * h[i:i + H, :]
+    return v
 
 
 @functools.lru_cache(maxsize=None)
