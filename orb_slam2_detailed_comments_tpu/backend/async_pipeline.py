@@ -1,0 +1,98 @@
+"""Asynchronous mapping pipeline (optional).
+
+Mirrors the reference's thread topology — Tracking in the caller's thread,
+LocalMapping (+LoopClosing) in a worker consuming a keyframe queue with
+back-pressure (reference: System.cc:133-152, LocalMapping.cc:176-190,
+mlNewKeyFrames + SetAcceptKeyFrames). The default pipeline is synchronous
+and deterministic; enable this to overlap per-frame device work (feature
+extraction, matching) with mapping.
+
+Synchronization is a single reentrant map lock held for a whole tracking
+step or a whole mapping step — coarser than the reference's ten mutexes
+but race-free by construction; the overlap win comes from extraction and
+matching running outside the lock.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional
+
+
+class AsyncLocalMapper:
+    """Wraps a LocalMapper, running on_new_keyframe in a worker thread."""
+
+    def __init__(self, mapper, map_lock: threading.RLock, max_queue: int = 3):
+        self.mapper = mapper
+        self.lock = map_lock
+        self.queue: "queue.Queue" = queue.Queue()
+        self.max_queue = max_queue
+        self._stop = threading.Event()
+        self._idle = threading.Event()
+        self._idle.set()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    # LocalMapper-compatible surface -----------------------------------
+
+    @property
+    def loop_closer(self):
+        return self.mapper.loop_closer
+
+    @loop_closer.setter
+    def loop_closer(self, lc):
+        self.mapper.loop_closer = lc
+
+    @property
+    def map(self):
+        return self.mapper.map
+
+    @map.setter
+    def map(self, m):
+        self.mapper.map = m
+
+    def on_new_keyframe(self, kf: int, run_ba: bool = True):
+        self._idle.clear()
+        self.queue.put((kf, run_ba))
+
+    def global_ba(self, n_iters: int = 10):
+        with self.lock:
+            self.mapper.global_ba(n_iters)
+
+    def reset(self):
+        # drain pending work, then reset state
+        self.wait_idle()
+        with self.lock:
+            self.mapper.reset()
+
+    # queue management --------------------------------------------------
+
+    def accept_keyframes(self) -> bool:
+        """Back-pressure signal (reference: LocalMapping::AcceptKeyFrames /
+        KeyframesInQueue < 3, Tracking.cc:1703-1737)."""
+        return self.queue.qsize() < self.max_queue
+
+    def wait_idle(self, timeout: Optional[float] = None):
+        self.queue.join()
+        self._idle.wait(timeout)
+
+    def shutdown(self):
+        self.queue.join()
+        self._stop.set()
+        self.queue.put(None)
+        self.thread.join(timeout=10.0)
+
+    def _run(self):
+        while not self._stop.is_set():
+            item = self.queue.get()
+            if item is None:
+                self.queue.task_done()
+                break
+            kf, run_ba = item
+            try:
+                with self.lock:
+                    self.mapper.on_new_keyframe(kf, run_ba=run_ba)
+            finally:
+                self.queue.task_done()
+                if self.queue.empty():
+                    self._idle.set()

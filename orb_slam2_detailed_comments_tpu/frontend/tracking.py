@@ -60,6 +60,8 @@ class Tracker:
         self.relocalizer = relocalizer        # callable(frame) -> bool
         self.state = TrackingState.NO_IMAGES_YET
         self.timer = StageTimer()
+        import contextlib
+        self.map_lock = contextlib.nullcontext()  # set by System in async mode
 
         orb = config.orb
         self.scale_factors = np.array([orb.scale_factor ** i for i in range(orb.n_levels)], np.float32)
@@ -149,6 +151,10 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def _track(self, frame: FrameData) -> Optional[np.ndarray]:
+        with self.map_lock:
+            return self._track_locked(frame)
+
+    def _track_locked(self, frame: FrameData) -> Optional[np.ndarray]:
         if self.state == TrackingState.NO_IMAGES_YET:
             self.state = TrackingState.NOT_INITIALIZED
 
@@ -605,13 +611,20 @@ class Tracker:
         th_ratio = 0.9 if self.sensor == Sensor.MONOCULAR else 0.75
 
         # reference decision: (c1a || c1b || c1c) && c2 (:1729-1740);
-        # mapping is synchronous here so "idle" is always true in c1b
+        # in async mode "idle" is the mapping queue's back-pressure signal
+        # (reference: AcceptKeyFrames / KeyframesInQueue<3, :1744-1760)
+        idle = getattr(self.local_mapper, "accept_keyframes", lambda: True)()
         c1a = frame.frame_id >= self.last_kf_frame_id + self.config.max_frames
-        c1b = frame.frame_id >= self.last_kf_frame_id + self.config.min_frames
+        c1b = (frame.frame_id >= self.last_kf_frame_id + self.config.min_frames) and idle
         c1c = self.sensor != Sensor.MONOCULAR and (
             n_matches < ref_tracked * 0.25 or need_close)
         c2 = (n_matches < ref_tracked * th_ratio or need_close) and n_matches > 15
-        return (c1a or c1b or c1c) and c2
+        if not ((c1a or c1b or c1c) and c2):
+            return False
+        if idle:
+            return True
+        # mapping busy: mono never queues; stereo/RGBD queue if short
+        return self.sensor != Sensor.MONOCULAR
 
     def _create_new_keyframe(self, frame: FrameData):
         """reference: Tracking::CreateNewKeyFrame (Tracking.cc:1753-1870)."""

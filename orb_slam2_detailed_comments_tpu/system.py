@@ -14,7 +14,9 @@ without touching the math.
 """
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
 from typing import Optional
 
 import numpy as np
@@ -35,10 +37,13 @@ class System:
     def __init__(self, config: SlamConfig, sensor: Sensor,
                  vocabulary: Optional[BinaryVocabulary] = None,
                  enable_loop_closing: bool = True,
-                 enable_global_ba_on_loop: bool = True):
+                 enable_global_ba_on_loop: bool = True,
+                 async_mapping: bool = False):
         self.config = config
         self.sensor = sensor
         self.map = MapStore(config)
+        self.async_mapping = async_mapping
+        self._map_lock = threading.RLock() if async_mapping else contextlib.nullcontext()
 
         # Vocabulary: pre-trained if provided, else self-trained online from
         # the first keyframes' descriptors (the reference instead loads a
@@ -54,11 +59,15 @@ class System:
 
         self.local_mapper = LocalMapper(config, self.map,
                                         monocular=(sensor == Sensor.MONOCULAR))
+        if async_mapping:
+            from .backend.async_pipeline import AsyncLocalMapper
+            self.local_mapper = AsyncLocalMapper(self.local_mapper, self._map_lock)
         if self.voc is not None:
             self._wire_place_recognition()
         self.tracker = Tracker(config, self.map, sensor,
                                local_mapper=self.local_mapper,
                                relocalizer=None)
+        self.tracker.map_lock = self._map_lock
 
     # ------------------------------------------------------------------
 
@@ -81,7 +90,9 @@ class System:
 
     def _maybe_train_vocabulary(self):
         """Self-train the BoW vocabulary once enough map data exists."""
-        if not self._pending_voc_train or self.map.n_keyframes() < self._voc_min_kfs:
+        # count allocated (not surviving) keyframes: culling may keep the
+        # live set small while plenty of descriptors exist for training
+        if not self._pending_voc_train or self.map.n_kf < self._voc_min_kfs:
             return
         kfs = self.map.keyframe_ids()
         descs = []
@@ -134,8 +145,10 @@ class System:
             self.loop_closer.reset()
 
     def shutdown(self):
-        """No threads to join in the synchronous pipeline (reference:
-        System::Shutdown, System.cc:444-473)."""
+        """Join the mapping worker if async (reference: System::Shutdown,
+        System.cc:444-473)."""
+        if self.async_mapping and hasattr(self.local_mapper, "shutdown"):
+            self.local_mapper.shutdown()
 
     # ------------------------------------------------------------------
     # introspection (reference: GetTrackingState/GetTrackedMapPoints)
