@@ -55,7 +55,7 @@ class System:
         self._enable_loop = enable_loop_closing
         self._enable_gba = enable_global_ba_on_loop
         self._pending_voc_train = vocabulary is None
-        self._voc_min_kfs = 6
+        self._voc_min_kfs = 3
 
         self.local_mapper = LocalMapper(config, self.map,
                                         monocular=(sensor == Sensor.MONOCULAR))
@@ -108,7 +108,8 @@ class System:
         for k in kfs:
             _, bow = self.voc.transform(self.map.kf_desc[k], self.map.kf_kp_valid[k])
             self.kfdb.add(int(k), bow)
-            self.loop_closer.kf_bow[int(k)] = bow if self.loop_closer else None
+            if self.loop_closer is not None:
+                self.loop_closer.kf_bow[int(k)] = bow
 
     # ------------------------------------------------------------------
     # frame dispatch (reference: System::TrackMonocular/Stereo/RGBD)
