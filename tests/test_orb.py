@@ -176,3 +176,17 @@ class TestExtractor:
         assert ok.sum() > 20
         dh = np.asarray(hamming_distance_pairs(jnp.asarray(d1[ok]), jnp.asarray(d2[nn[ok]])))
         assert np.median(dh) < 64, f"median hamming under rotation {np.median(dh)}"
+
+
+class TestPallasFast:
+    def test_matches_xla_path(self):
+        """The fused Pallas FAST+NMS kernel (experimental; interpret mode on
+        CPU) must agree with the XLA formulation away from the border."""
+        import jax
+        from orb_slam2_detailed_comments_tpu.ops.pallas_fast import fast_score_nms_pallas
+        img = jnp.asarray(textured_image(h=120, w=160, seed=3))
+        ref = np.asarray(nms_3x3(fast_score_map(img, 7.0)))
+        out = np.asarray(fast_score_nms_pallas(img, 7.0,
+                                               interpret=jax.default_backend() == "cpu"))
+        d = np.abs(ref - out)[4:-4, 4:-4]
+        assert d.max() < 1e-4
