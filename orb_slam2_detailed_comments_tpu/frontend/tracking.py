@@ -204,8 +204,11 @@ class Tracker:
         else:
             self.state = TrackingState.LOST
             self.velocity = None
-            # auto-reset if lost early (reference: Tracking.cc:744-753)
-            if self.map.n_keyframes() <= 5 and not self.localization_only:
+            # auto-reset if lost right after initialization (reference:
+            # Tracking.cc:744-753 uses live map size <= 5; our culling keeps
+            # the live set small even for healthy maps, so gate on a truly
+            # immature map instead: <= 2 allocated keyframes)
+            if self.map.n_kf <= 2 and not self.localization_only:
                 self.reset()
                 return None
 
