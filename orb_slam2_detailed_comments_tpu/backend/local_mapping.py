@@ -27,10 +27,16 @@ from ..optim.global_ba import global_bundle_adjustment
 from ..state.map_store import MapStore
 from ..utils.config import SlamConfig
 
-# static capacities for the local-BA device problem
-BA_CAM_CAP = 64
-BA_PT_CAP = 16384
-BA_EDGE_CAP = 49152
+# static capacities for the local-BA device problem. Problems are padded
+# to the smallest fitting bucket so typical windows compile once and pay
+# for their own size, not the worst case (the max bucket costs ~570 ms on
+# a v5e; the small bucket is ~10x cheaper).
+BA_BUCKETS = (
+    (16, 4096, 12288),
+    (32, 8192, 24576),
+    (64, 16384, 49152),
+)
+BA_CAM_CAP, BA_PT_CAP, BA_EDGE_CAP = BA_BUCKETS[-1]
 
 
 class LocalMapper:
@@ -372,8 +378,11 @@ class LocalMapper:
         E = len(e_cam)
         if E < 10:
             return
-        C, P = BA_CAM_CAP, BA_PT_CAP
-        pad_e = BA_EDGE_CAP - E
+        # pick the smallest bucket that fits
+        for C, P, E_CAP in BA_BUCKETS:
+            if len(cams) <= C and len(pts) <= P and E <= E_CAP:
+                break
+        pad_e = E_CAP - E
 
         cam_Tcw = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
         cam_Tcw[:len(cams)] = mp.kf_Tcw[cams]
@@ -482,9 +491,18 @@ class LocalMapper:
             edge_octave=jnp.asarray(e_oct, jnp.int32),
             edge_valid=jnp.ones(E, bool),
         )
-        new_cams, new_pts, _ = global_bundle_adjustment(
-            prob, self.config.camera, jnp.asarray(self.inv_sigma2),
-            n_iters=n_iters)
+        # shard over the device mesh when more than one device is attached
+        # (beyond-reference: the reference's GBA is single-threaded g2o)
+        import jax as _jax
+        if len(_jax.devices()) > 1 and E >= 4096:
+            from ..parallel.distributed_ba import distributed_global_ba, make_ba_mesh
+            new_cams, new_pts = distributed_global_ba(
+                prob, self.config.camera, jnp.asarray(self.inv_sigma2),
+                make_ba_mesh(), n_iters=n_iters)
+        else:
+            new_cams, new_pts, _ = global_bundle_adjustment(
+                prob, self.config.camera, jnp.asarray(self.inv_sigma2),
+                n_iters=n_iters)
         new_cams = np.asarray(new_cams)
         for i, c in enumerate(kfs):
             if cam_free[i]:
