@@ -101,3 +101,54 @@ class TestAsyncPipeline:
         assert n_ok >= 10
         assert slam.map.n_keyframes() >= 2
         assert slam.map.n_map_points() > 300
+
+
+class TestCheckpointResume:
+    def test_save_load_and_continue_tracking(self, tmp_path):
+        """Map checkpoint/resume (the reference's SaveMap/LoadMap TODO):
+        save mid-run, reload into a fresh System, keep tracking."""
+        world = PlanesWorld(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
+                            width=320, height=240, texture_seed=31)
+        poses = smooth_trajectory(16, step=0.05)
+        slam = System(make_cfg(), Sensor.RGBD, enable_loop_closing=False)
+        for i in range(8):
+            slam.track_rgbd(world.render(poses[i]), world.render_depth(poses[i]), i * 0.1)
+        assert slam.tracking_state == TrackingState.OK
+        path = str(tmp_path / "map.npz")
+        slam.save_map(path)
+
+        slam2 = System(make_cfg(), Sensor.RGBD, enable_loop_closing=False)
+        slam2.load_map(path)
+        assert slam2.map.n_keyframes() == slam.map.n_keyframes()
+        assert slam2.map.n_map_points() == slam.map.n_map_points()
+        # resume tracking against the loaded map in localization mode
+        slam2.activate_localization_mode()
+        slam2.tracker.state = TrackingState.OK
+        slam2.tracker.last_frame = slam.tracker.last_frame
+        slam2.tracker.last_kf_id = slam.tracker.last_kf_id
+        slam2.tracker.velocity = slam.tracker.velocity
+        ok = 0
+        for i in range(8, 14):
+            T = slam2.track_rgbd(world.render(poses[i]), world.render_depth(poses[i]), i * 0.1)
+            if T is not None:
+                ok += 1
+        assert ok >= 4, f"resumed tracking only {ok}/6 frames"
+
+
+class TestTrajectoryFormats:
+    def test_kitti_format(self, tmp_path):
+        world = PlanesWorld(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
+                            width=320, height=240, texture_seed=32)
+        poses = smooth_trajectory(8, step=0.05)
+        slam = System(make_cfg(), Sensor.RGBD, enable_loop_closing=False)
+        for i in range(8):
+            slam.track_rgbd(world.render(poses[i]), world.render_depth(poses[i]), i * 0.1)
+        p = tmp_path / "kitti.txt"
+        slam.save_trajectory_kitti(str(p))
+        lines = p.read_text().strip().splitlines()
+        assert len(lines) >= 6
+        row = np.asarray([float(x) for x in lines[0].split()])
+        assert row.shape == (12,)
+        # first pose ~ identity
+        T = row.reshape(3, 4)
+        np.testing.assert_allclose(T[:, :3], np.eye(3), atol=1e-3)
