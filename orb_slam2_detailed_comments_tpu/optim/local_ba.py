@@ -183,6 +183,20 @@ def _ba_iteration(cam_Tcw, points, prob: BAProblem, active, cam_params,
     return cam_new, pts_new, chi2
 
 
+def robust_cost(cam_Tcw, points, prob: BAProblem, active, cam_params,
+                inv_sigma2_levels, use_kernel):
+    """Total (optionally Huber-robustified) cost over active edges."""
+    chi2, behind = edge_chi2(cam_Tcw, points, prob, cam_params, inv_sigma2_levels)
+    is_stereo = prob.edge_obs[:, 2] >= 0.0
+    delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    c = jnp.where(use_kernel,
+                  jnp.where(chi2 <= delta2, chi2,
+                            2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2),
+                  chi2)
+    w = active & ~behind
+    return jnp.sum(jnp.where(w, c, 0.0))
+
+
 def edge_chi2(cam_Tcw, points, prob: BAProblem, cam_params, inv_sigma2_levels):
     r, _, _, behind = _edge_terms(cam_Tcw, points, prob, cam_params)
     is_stereo = prob.edge_obs[:, 2] >= 0.0
@@ -208,30 +222,38 @@ def local_bundle_adjustment(prob: BAProblem, cam, inv_sigma2_levels,
     is_stereo = prob.edge_obs[:, 2] >= 0.0
     chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
 
-    def iter_body(_, state):
-        cam_Tcw, points, active = state
-        cam_Tcw, points, _ = _ba_iteration(
-            cam_Tcw, points, prob, active, cam_params, inv_sigma2_levels,
-            use_kernel=True, damping=damping)
-        return cam_Tcw, points, active
+    def lm_body(use_kernel):
+        def body(_, state):
+            cam_Tcw, points, active, lam = state
+            cand_c, cand_p, _ = _ba_iteration(
+                cam_Tcw, points, prob, active, cam_params, inv_sigma2_levels,
+                use_kernel=use_kernel, damping=lam)
+            # LM step acceptance (g2o rejects cost-increasing steps too):
+            # accept -> shrink damping; reject -> keep state, grow damping
+            c_old = robust_cost(cam_Tcw, points, prob, active, cam_params,
+                                inv_sigma2_levels, use_kernel)
+            c_new = robust_cost(cand_c, cand_p, prob, active, cam_params,
+                                inv_sigma2_levels, use_kernel)
+            accept = c_new <= c_old
+            cam_Tcw = jnp.where(accept, cand_c, cam_Tcw)
+            points = jnp.where(accept, cand_p, points)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                            jnp.minimum(lam * 8.0, 1e2))
+            return cam_Tcw, points, active, lam
+        return body
 
-    state = (prob.cam_Tcw, prob.points, prob.edge_valid)
-    state = jax.lax.fori_loop(0, n_iters_pre, iter_body, state)
+    lam0 = jnp.float32(damping)
+    state = (prob.cam_Tcw, prob.points, prob.edge_valid, lam0)
+    state = jax.lax.fori_loop(0, n_iters_pre, lm_body(True), state)
 
     # chi2 gate (reference: Optimizer.cc:916-929)
-    cam_Tcw, points, active = state
+    cam_Tcw, points, active, lam = state
     chi2, behind = edge_chi2(cam_Tcw, points, prob, cam_params, inv_sigma2_levels)
     active = prob.edge_valid & (chi2 <= chi2_th) & ~behind
 
-    def iter_body2(_, state):
-        cam_Tcw, points, active = state
-        cam_Tcw, points, _ = _ba_iteration(
-            cam_Tcw, points, prob, active, cam_params, inv_sigma2_levels,
-            use_kernel=False, damping=damping)
-        return cam_Tcw, points, active
-
-    state = jax.lax.fori_loop(0, n_iters_post, iter_body2, (cam_Tcw, points, active))
-    cam_Tcw, points, active = state
+    state = jax.lax.fori_loop(0, n_iters_post, lm_body(False),
+                              (cam_Tcw, points, active, lam0))
+    cam_Tcw, points, active, _ = state
 
     cam_Tcw = se3_renormalize(cam_Tcw)
     chi2, behind = edge_chi2(cam_Tcw, points, prob, cam_params, inv_sigma2_levels)
