@@ -517,9 +517,21 @@ class LocalMapper:
         a local keyframe is redundant if >= 90% of its points are seen by
         >= 3 other keyframes at the same or finer scale."""
         mp = self.map
+        from ..state import native_ops
+        close_th = self.config.th_depth * self.config.camera.baseline \
+            if self.config.camera.bf > 0 else 0.0
         for k in mp.get_covisible(kf):
             k = int(k)
             if k == mp.origin_kf or not mp.kf_valid[k]:
+                continue
+            if mp.kf_not_erase[k]:
+                continue
+            # native fast path (native/map_ops.cpp count_redundant)
+            res = native_ops.count_redundant(mp, k, close_th, not self.monocular)
+            if res is not None:
+                considered, redundant = res
+                if considered > 0 and redundant > 0.9 * considered:
+                    mp.erase_keyframe(k)
                 continue
             feat_idx = np.nonzero(mp.kf_mp[k] >= 0)[0]
             mps = mp.kf_mp[k, feat_idx]
