@@ -82,6 +82,8 @@ def _select_level_keypoints(score, budget: int, cell: int):
     cand_valid = vals > 0.0
 
     # order: (rank asc, score desc); invalid last. scores < 1e6.
+    # (measured: full argsort beats lax.top_k here on v5e — 11.26 vs
+    # 11.79 ms for the whole tracking step)
     key = ranks.astype(jnp.float32) * 1e6 - vals
     key = jnp.where(cand_valid, key, jnp.float32(jnp.inf))
     order = jnp.argsort(key)[:budget]
