@@ -16,8 +16,12 @@ Prints per-frame latency stats at exit like the reference mains
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# runnable as `python examples/run_slam.py` without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -115,6 +115,61 @@ def _ic_angles(level_img, xy, valid):
 
 
 @functools.lru_cache(maxsize=None)
+def _ic_weights_39():
+    """IC-angle coordinate weights zero-padded from 31x31 to the 39x39
+    descriptor patch so one per-keypoint patch slice serves both the
+    orientation statistic and the descriptor sampling."""
+    mask, xs, ys = ic_angle_offsets()
+    pad = DESC_RADIUS - HALF_PATCH
+    wx = np.pad(xs * mask, pad)
+    wy = np.pad(ys * mask, pad)
+    return wx.astype(np.float32), wy.astype(np.float32)
+
+
+def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
+    """Orientation + rotated BRIEF for one level's keypoints in one pass.
+
+    The reference computes IC angles and descriptors in separate per-level
+    passes (ORBextractor.cc:2023-2076); on TPU the per-keypoint patch
+    slices are the dominant extraction cost, so each keypoint does a single
+    dynamic_slice of a (2, 39, 39) [raw, blurred] patch and derives the
+    angle from channel 0 (IC statistic, reference :104-161) and the
+    descriptor bits from channel 1 (GET_VALUE rounding, reference
+    :177-254).
+    """
+    wx39, wy39 = map(jnp.asarray, _ic_weights_39())
+    x0, y0, x1, y1 = map(jnp.asarray, _pattern_arrays())
+    r = DESC_RADIUS
+    psize = 2 * r + 1
+    pair = jnp.stack([raw_img, blurred_img])  # (2, H, W)
+    padded = jnp.pad(pair, ((0, 0), (r, r), (r, r)), mode="edge")
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    def one(p):
+        patch = jax.lax.dynamic_slice(padded, (0, p[1], p[0]), (2, psize, psize))
+        rawp, blurp = patch[0], patch[1]
+        m10 = jnp.sum(rawp * wx39)
+        m01 = jnp.sum(rawp * wy39)
+        ang = jnp.arctan2(m01, m10)
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        d0x = jnp.round(x0 * ca - y0 * sa).astype(jnp.int32)
+        d0y = jnp.round(x0 * sa + y0 * ca).astype(jnp.int32)
+        d1x = jnp.round(x1 * ca - y1 * sa).astype(jnp.int32)
+        d1y = jnp.round(x1 * sa + y1 * ca).astype(jnp.int32)
+        flat = blurp.reshape(-1)
+        v0 = flat[(d0y + r) * psize + (d0x + r)]
+        v1 = flat[(d1y + r) * psize + (d1x + r)]
+        bits = (v0 < v1).astype(jnp.uint32).reshape(8, 32)
+        desc = jnp.sum(bits << shifts, axis=-1).astype(jnp.uint32)
+        return ang, desc
+
+    ang, desc = jax.vmap(one)(xy)
+    ang = jnp.where(valid, ang, 0.0)
+    desc = jnp.where(valid[:, None], desc, 0)
+    return ang, desc
+
+
+@functools.lru_cache(maxsize=None)
 def _pattern_arrays(seed: int = 1234):
     p = brief_pattern(seed)  # (256, 4)
     return (
@@ -219,9 +274,8 @@ def extract_orb(img, config: OrbConfig, n_features: int = 0):
         dy = jnp.where(jnp.abs(deny) > 1e-6, 0.5 * (su - sd) / jnp.where(jnp.abs(deny) > 1e-6, deny, 1.0), 0.0)
         subpix = jnp.stack([jnp.clip(dx, -0.5, 0.5), jnp.clip(dy, -0.5, 0.5)], axis=-1)
 
-        ang = _ic_angles(limg, xy_i, valid)
         blurred = gaussian_blur(limg)
-        desc = _brief_descriptors(blurred, xy_i, ang, valid)
+        ang, desc = _fused_level_angles_descriptors(limg, blurred, xy_i, valid)
 
         # half-pixel-correct mapping to level-0 coordinates: bilinear resize
         # aligns pixel CENTERS, so x0 = (xl + 0.5) * (W0/Wl) - 0.5. The
