@@ -31,6 +31,7 @@ import numpy as np
 
 from ..utils.config import OrbConfig
 from .fast import fast_score_map, fast_score_dense, nms_3x3
+from .pallas_fast import fast_pyramid_pallas
 from .pattern import brief_pattern, ic_angle_offsets, HALF_PATCH
 from .pyramid import build_pyramid, gaussian_blur, features_per_level, pyramid_shapes
 
@@ -235,11 +236,31 @@ def extract_orb(img, config: OrbConfig, n_features: int = 0):
     budgets = features_per_level(n_feat, n_levels, sf)
     shapes = pyramid_shapes(img.shape[0], img.shape[1], n_levels, sf)
 
+    # ORB_FAST_PALLAS=1 switches FAST+NMS+raw+blur to the fused Pallas
+    # whole-pyramid kernel (ops/pallas_fast.fast_pyramid_pallas). Measured
+    # on v5e (bench.py, 3 runs each): XLA 10.71-10.76 ms/frame, Pallas
+    # per-level 10.84-10.95, Pallas single-dispatch 11.03 — XLA's fusion of
+    # these VPU ops into the surrounding program wins, so it stays the
+    # default; the kernel is kept as the documented alternative (bit-exact,
+    # interpret-tested) for standalone/score-only uses where it is 11x the
+    # dispatch-bound XLA micro-call.
+    import os
+    use_pallas = os.environ.get("ORB_FAST_PALLAS", "0") not in ("0", "false")
+
+    if use_pallas:
+        nms_all, raw_all, blur_all = fast_pyramid_pallas(
+            tuple(levels), shapes, float(config.min_th_fast))
+
     outs = []
     for lv in range(n_levels):
         limg = levels[lv]
         H, W = shapes[lv]
-        score = nms_3x3(fast_score_map(limg, float(config.min_th_fast)))
+        if use_pallas:
+            score, raw, blurred = nms_all[lv], raw_all[lv], blur_all[lv]
+        else:
+            score = nms_3x3(fast_score_map(limg, float(config.min_th_fast)))
+            raw = fast_score_dense(limg)
+            blurred = gaussian_blur(limg)
         # exclude the descriptor-unsafe border (reference extracts inside
         # minBorder and relies on the 19px EDGE_THRESHOLD padding; our
         # padding is edge-replicate so we just mask the border region)
@@ -259,7 +280,6 @@ def extract_orb(img, config: OrbConfig, n_features: int = 0):
         # sub-pixel refinement: 1D quadratic fits on the raw arc-score map
         # (an accuracy improvement over the reference's integer FAST corners
         # — halves the keypoint noise that drives pose drift)
-        raw = fast_score_dense(limg)
         raw_pad = jnp.pad(raw, 1)
         xs_c = xy_i[:, 0] + 1
         ys_c = xy_i[:, 1] + 1
@@ -274,7 +294,6 @@ def extract_orb(img, config: OrbConfig, n_features: int = 0):
         dy = jnp.where(jnp.abs(deny) > 1e-6, 0.5 * (su - sd) / jnp.where(jnp.abs(deny) > 1e-6, deny, 1.0), 0.0)
         subpix = jnp.stack([jnp.clip(dx, -0.5, 0.5), jnp.clip(dy, -0.5, 0.5)], axis=-1)
 
-        blurred = gaussian_blur(limg)
         ang, desc = _fused_level_angles_descriptors(limg, blurred, xy_i, valid)
 
         # half-pixel-correct mapping to level-0 coordinates: bilinear resize

@@ -1,15 +1,25 @@
-"""Pallas TPU kernel: fused FAST-9/16 score + 3x3 NMS.
+"""Pallas TPU kernels: fused FAST-9/16 score + 3x3 NMS + raw score +
+Gaussian blur.
 
-The XLA formulation (ops/fast.py) materializes 16 ring-shifted copies plus
-rolling-min intermediates between fusion boundaries. This kernel keeps the
-whole level image resident in VMEM (a 640x480 f32 image is 1.2 MB against
-16 MB of VMEM; every pyramid level is smaller) and computes all 16 ring
-shifts, the doubling rolling-min over the ring, the threshold and the 3x3
-NMS as static slices of that buffer — one HBM read of the image, one HBM
-write of the score map, zero intermediates in HBM.
+Three variants, all bit-(near-)exact against the XLA formulation
+(ops/fast.py + ops/pyramid.gaussian_blur) and interpret-testable on CPU:
 
-Width/height are pre-padded by 4 so every shift is a static in-bounds
-slice. Interpret mode keeps CPU tests exact.
+ * `fast_score_nms_pallas` — historical whole-image single-block kernel.
+   Only viable for small images: the unrolled ring intermediates exceed
+   VMEM at 640x480 (Mosaic does not re-fuse the 50-odd live slices).
+ * `fast_score_nms_raw_pallas` — row-tiled (TILE_H x Wtot blocks, manual
+   halo DMA from an ANY-space input), one dispatch per image. Emits the
+   NMS'd score, the raw arc score (sub-pixel refinement input) and the
+   7x7 sigma=2 blurred image from ONE read of the level.
+ * `fast_pyramid_pallas` — ALL pyramid levels in one dispatch: levels are
+   stacked vertically (each with a private halo), a scalar-prefetch
+   metadata table maps row-tiles to levels.
+
+Measured on v5e: standalone, the tiled kernel is ~11x a standalone-jitted
+XLA micro-call (0.9 vs 10 ms — the latter is dispatch-dominated). INSIDE
+the fused tracking step, XLA's op fusion wins: 10.71-10.76 ms/frame (XLA)
+vs 10.84-11.03 (Pallas variants), so the XLA path is the default and these
+kernels are opt-in (ORB_FAST_PALLAS=1) / for standalone score extraction.
 """
 from __future__ import annotations
 
@@ -17,12 +27,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fast import RING_OFFSETS
+from .pyramid import _gauss_kernel_1d
 
-HALO = 4  # 3 ring radius + 1 NMS margin
+HALO = 4  # 3 ring radius + 1 NMS margin; also covers the 7x7 blur radius 3
 
 
 def _fast_nms_kernel(img_ref, out_ref, *, threshold: float):
@@ -70,6 +82,311 @@ def _fast_nms_kernel(img_ref, out_ref, *, threshold: float):
                         jnp.maximum(nbr(-1, 0), nbr(-1, -1)))
     keep = (c > 0) & (c >= before) & (c > after)
     out_ref[:] = jnp.where(keep, c, 0.0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+TILE_H = 48  # rows per grid step (multiple of the f32 sublane tile 8)
+
+
+def _fast_nms_tile_kernel(img_hbm, nms_ref, raw_ref, blur_ref, buf, sem, *,
+                          threshold: float, img_h: int, img_w: int):
+    """One row-tile of the fused FAST-9/16 score + 3x3 NMS.
+
+    img_hbm: (Hp + 2*HALO, Wtot) padded image resident in HBM/ANY; each grid
+    step DMAs its (TILE_H + 2*HALO, Wtot) halo slab into VMEM scratch `buf`.
+    nms_ref/raw_ref: (TILE_H, Wtot) output blocks. True image col c lives at
+    padded col c + HALO.
+
+    The arc minimum is computed per starting index from the 16 ring
+    differences directly (a tree of 8 mins each) instead of the doubling
+    rolling-min: that keeps ~20 (not ~80) full-tile buffers live, which is
+    what blew VMEM in the whole-image kernel. The extra VPU mins are free —
+    the kernel is bandwidth-bound.
+    """
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(i * TILE_H, TILE_H + 2 * HALO), :], buf, sem)
+    cp.start()
+    cp.wait()
+    slab = buf[:]
+    Wtot = slab.shape[1]
+    WS = Wtot - 6         # score-region width, covering padded cols [3, Wtot-3)
+    HS = TILE_H + 2       # score-region rows: 1px NMS margin around the tile
+
+    def region(dy, dx):
+        return jax.lax.slice(
+            slab, (HALO - 1 + dy, 3 + dx), (HALO - 1 + dy + HS, 3 + dx + WS))
+
+    center = region(0, 0)
+    d = [region(int(dy), int(dx)) - center for dy, dx in RING_OFFSETS]
+
+    def arc_score(diffs):
+        # max over the 16 length-9 arcs of the arc min
+        best = None
+        for s in range(16):
+            m = diffs[s]
+            # tree-min over the 9-long arc starting at s
+            m = jnp.minimum(m, diffs[(s + 1) % 16])
+            m2 = jnp.minimum(diffs[(s + 2) % 16], diffs[(s + 3) % 16])
+            m3 = jnp.minimum(diffs[(s + 4) % 16], diffs[(s + 5) % 16])
+            m4 = jnp.minimum(diffs[(s + 6) % 16], diffs[(s + 7) % 16])
+            m = jnp.minimum(jnp.minimum(m, diffs[(s + 8) % 16]),
+                            jnp.minimum(jnp.minimum(m2, m3), m4))
+            best = m if best is None else jnp.maximum(best, m)
+        return best
+
+    raw = jnp.maximum(arc_score(d), arc_score([-v for v in d]))
+    score = jnp.where(raw > threshold, raw, 0.0)
+
+    # zero the 3px image border BEFORE NMS (the XLA path masks
+    # fast_score_map's border first, so near-border pixels compete against
+    # zeros there; replicate for bit-equal tie-breaks)
+    gy = (jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
+          + i * TILE_H - 1)                      # global image row
+    gx = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1) - 1  # global col
+    inb = (gy >= 3) & (gy < img_h - 3) & (gx >= 3) & (gx < img_w - 3)
+    score = jnp.where(inb, score, 0.0)
+
+    # 3x3 NMS, same scan-order tie-break as ops/fast.nms_3x3
+    def nbr(dy, dx):
+        return jax.lax.slice(
+            score, (1 + dy, 1 + dx), (1 + dy + TILE_H, 1 + dx + WS - 2))
+
+    c = nbr(0, 0)
+    before = jnp.maximum(jnp.maximum(nbr(1, 1), nbr(1, 0)),
+                         jnp.maximum(nbr(1, -1), nbr(0, 1)))
+    after = jnp.maximum(jnp.maximum(nbr(0, -1), nbr(-1, 1)),
+                        jnp.maximum(nbr(-1, 0), nbr(-1, -1)))
+    keep = (c > 0) & (c >= before) & (c > after)
+
+    # cols [4, Wtot-4) carry the result; the caller slices [HALO, HALO+W)
+    # out of that range, so the 4 pad columns each side are never read
+    nms_ref[:, 4:4 + (WS - 2)] = jnp.where(keep, c, 0.0)
+    raw_ref[:, 4:4 + (WS - 2)] = jax.lax.slice(
+        raw, (1, 1), (1 + TILE_H, 1 + WS - 2))
+
+    # 7x7 sigma=2 separable Gaussian blur of the same slab (the descriptor
+    # image, reference ORBextractor.cc:2023); the wrapper's reflect halo
+    # makes this bit-equal to ops/pyramid.gaussian_blur
+    k = tuple(float(v) for v in _gauss_kernel_1d(7, 2.0))
+    BH = TILE_H + 6
+    WB = Wtot - 8
+    h = k[0] * jax.lax.slice(slab, (1, 1), (1 + BH, 1 + WB))
+    for j in range(1, 7):
+        h = h + k[j] * jax.lax.slice(slab, (1, 1 + j), (1 + BH, 1 + j + WB))
+    v = k[0] * jax.lax.slice(h, (0, 0), (TILE_H, WB))
+    for j in range(1, 7):
+        v = v + k[j] * jax.lax.slice(h, (j, 0), (j + TILE_H, WB))
+    blur_ref[:, 4:4 + WB] = v
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
+def fast_score_nms_raw_pallas(img, threshold: float = 7.0, interpret: bool = False):
+    """Fused FAST-9/16 score + 3x3 NMS + raw score + Gaussian blur, tiled
+    over rows.
+
+    img: (H, W) float32. Returns (nms_score, raw_score, blurred), all
+    (H, W); nms_score is zeroed in the 3px border, raw_score is the
+    unthresholded arc score (used for sub-pixel refinement) valid inside
+    the same border, blurred is the 7x7 sigma=2 descriptor image.
+
+    Replaces ops/fast.fast_score_map + nms_3x3 + fast_score_dense +
+    ops/pyramid.gaussian_blur with one HBM read of the level image
+    (reference: per-cell cv::FAST in ORBextractor.cc:1424-1601 +
+    GaussianBlur at :2023).
+    """
+    H, W = img.shape
+    Hp = _round_up(H, TILE_H)
+    Wtot = _round_up(W + 2 * HALO, 128)
+    # reflect halo (matches gaussian_blur's BORDER_REFLECT_101; FAST/NMS
+    # never read the border so only the blur output observes the mode),
+    # then edge-extend to the tile-aligned extents (those rows/cols feed
+    # discarded outputs only)
+    padded = jnp.pad(img, ((HALO, HALO), (HALO, HALO)), mode="reflect")
+    padded = jnp.pad(padded, ((0, Hp - H), (0, Wtot - W - 2 * HALO)),
+                     mode="edge")
+
+    kernel = functools.partial(_fast_nms_tile_kernel, threshold=threshold,
+                               img_h=H, img_w=W)
+    grid = Hp // TILE_H
+    blk = pl.BlockSpec((TILE_H, Wtot), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((Hp, Wtot), jnp.float32)
+    nms, raw, blur = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(blk, blk, blk),
+        out_shape=(oshape, oshape, oshape),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H + 2 * HALO, Wtot), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(padded)
+
+    nms = nms[:H, HALO:HALO + W]
+    raw = raw[:H, HALO:HALO + W]
+    blur = blur[:H, HALO:HALO + W]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    border_ok = (ys >= 3) & (ys < H - 3) & (xs >= 3) & (xs < W - 3)
+    return jnp.where(border_ok, nms, 0.0), raw, blur
+
+
+def _pyramid_tile_kernel(meta_ref, img_hbm, nms_ref, raw_ref, blur_ref,
+                         buf, sem, *, threshold: float):
+    """One row-tile of the whole-pyramid fused FAST+NMS+raw+blur kernel.
+
+    meta_ref (scalar-prefetch SMEM, (n_tiles, 4) int32): per-tile
+    [input_start_row, tile_local_row_offset, level_h, level_w]. All levels
+    are stacked vertically in img_hbm, each embedded with its own
+    2*HALO-row halo; tiles are enumerated level-major so output row-blocks
+    are consecutive.
+    """
+    t = pl.program_id(0)
+    # every tile start is a multiple of 8 (TILE_H and the per-level halo
+    # are); Mosaic needs the hint to tile the dynamic slice
+    in_start = pl.multiple_of(meta_ref[t, 0], 8)
+    local_off = meta_ref[t, 1]
+    img_h = meta_ref[t, 2]
+    img_w = meta_ref[t, 3]
+
+    cp = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(in_start, TILE_H + 2 * HALO), :], buf, sem)
+    cp.start()
+    cp.wait()
+    slab = buf[:]
+    Wtot = slab.shape[1]
+    WS = Wtot - 6
+    HS = TILE_H + 2
+
+    def region(dy, dx):
+        return jax.lax.slice(
+            slab, (HALO - 1 + dy, 3 + dx), (HALO - 1 + dy + HS, 3 + dx + WS))
+
+    center = region(0, 0)
+    d = [region(int(dy), int(dx)) - center for dy, dx in RING_OFFSETS]
+
+    def arc_score(diffs):
+        best = None
+        for s in range(16):
+            m = jnp.minimum(diffs[s], diffs[(s + 1) % 16])
+            m2 = jnp.minimum(diffs[(s + 2) % 16], diffs[(s + 3) % 16])
+            m3 = jnp.minimum(diffs[(s + 4) % 16], diffs[(s + 5) % 16])
+            m4 = jnp.minimum(diffs[(s + 6) % 16], diffs[(s + 7) % 16])
+            m = jnp.minimum(jnp.minimum(m, diffs[(s + 8) % 16]),
+                            jnp.minimum(jnp.minimum(m2, m3), m4))
+            best = m if best is None else jnp.maximum(best, m)
+        return best
+
+    raw = jnp.maximum(arc_score(d), arc_score([-v for v in d]))
+    score = jnp.where(raw > threshold, raw, 0.0)
+
+    gy = (jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
+          + local_off - 1)
+    gx = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1) - 1
+    inb = (gy >= 3) & (gy < img_h - 3) & (gx >= 3) & (gx < img_w - 3)
+    score = jnp.where(inb, score, 0.0)
+
+    def nbr(dy, dx):
+        return jax.lax.slice(
+            score, (1 + dy, 1 + dx), (1 + dy + TILE_H, 1 + dx + WS - 2))
+
+    c = nbr(0, 0)
+    before = jnp.maximum(jnp.maximum(nbr(1, 1), nbr(1, 0)),
+                         jnp.maximum(nbr(1, -1), nbr(0, 1)))
+    after = jnp.maximum(jnp.maximum(nbr(0, -1), nbr(-1, 1)),
+                        jnp.maximum(nbr(-1, 0), nbr(-1, -1)))
+    keep = (c > 0) & (c >= before) & (c > after)
+
+    nms_ref[:, 4:4 + (WS - 2)] = jnp.where(keep, c, 0.0)
+    raw_ref[:, 4:4 + (WS - 2)] = jax.lax.slice(
+        raw, (1, 1), (1 + TILE_H, 1 + WS - 2))
+
+    k = tuple(float(v) for v in _gauss_kernel_1d(7, 2.0))
+    BH = TILE_H + 6
+    WB = Wtot - 8
+    h = k[0] * jax.lax.slice(slab, (1, 1), (1 + BH, 1 + WB))
+    for j in range(1, 7):
+        h = h + k[j] * jax.lax.slice(slab, (1, 1 + j), (1 + BH, 1 + j + WB))
+    v = k[0] * jax.lax.slice(h, (0, 0), (TILE_H, WB))
+    for j in range(1, 7):
+        v = v + k[j] * jax.lax.slice(h, (j, 0), (j + TILE_H, WB))
+    blur_ref[:, 4:4 + WB] = v
+
+
+@functools.partial(jax.jit, static_argnames=("shapes", "threshold", "interpret"))
+def fast_pyramid_pallas(levels, shapes, threshold: float = 7.0,
+                        interpret: bool = False):
+    """Fused FAST-9/16 + NMS + raw score + Gaussian blur for the WHOLE
+    pyramid in ONE pallas_call.
+
+    levels: tuple of (H_l, W_l) float32 level images; shapes: static tuple
+    of their (H, W). Returns (nms, raw, blur) tuples, one (H_l, W_l) array
+    per level. The per-level variant costs one kernel dispatch + fusion
+    barrier per level; stacking all levels into one tile-metadata-driven
+    grid amortizes that to a single dispatch (reference work:
+    ORBextractor.cc:1424-1601 + GaussianBlur :2023, all levels).
+    """
+    n_levels = len(shapes)
+    Wtot = max(_round_up(W + 2 * HALO, 128) for _, W in shapes)
+
+    in_blocks = []
+    meta = []
+    in_off = 0
+    out_offs = []
+    out_off = 0
+    for lv in range(n_levels):
+        H, W = shapes[lv]
+        Hp = _round_up(H, TILE_H)
+        p = jnp.pad(levels[lv], ((HALO, HALO), (HALO, HALO)), mode="reflect")
+        p = jnp.pad(p, ((0, Hp - H), (0, Wtot - W - 2 * HALO)), mode="edge")
+        in_blocks.append(p)
+        for ktile in range(Hp // TILE_H):
+            meta.append((in_off + ktile * TILE_H, ktile * TILE_H, H, W))
+        out_offs.append(out_off)
+        in_off += Hp + 2 * HALO
+        out_off += Hp
+    stacked = jnp.concatenate(in_blocks, axis=0)
+    meta = jnp.asarray(np.asarray(meta, np.int32))
+    n_tiles = meta.shape[0]
+
+    kernel = functools.partial(_pyramid_tile_kernel, threshold=threshold)
+    # index_map receives (grid idx, scalar-prefetch ref)
+    blk = pl.BlockSpec((TILE_H, Wtot), lambda t, meta: (t, 0),
+                       memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((out_off, Wtot), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(blk, blk, blk),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H + 2 * HALO, Wtot), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    nms, raw, blur = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(oshape, oshape, oshape),
+        interpret=interpret,
+    )(meta, stacked)
+
+    nms_l, raw_l, blur_l = [], [], []
+    for lv in range(n_levels):
+        H, W = shapes[lv]
+        o = out_offs[lv]
+        ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        ok = (ys >= 3) & (ys < H - 3) & (xs >= 3) & (xs < W - 3)
+        nms_l.append(jnp.where(ok, nms[o:o + H, HALO:HALO + W], 0.0))
+        raw_l.append(raw[o:o + H, HALO:HALO + W])
+        blur_l.append(blur[o:o + H, HALO:HALO + W])
+    return tuple(nms_l), tuple(raw_l), tuple(blur_l)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "interpret"))

@@ -190,3 +190,26 @@ class TestPallasFast:
                                                interpret=jax.default_backend() == "cpu"))
         d = np.abs(ref - out)[4:-4, 4:-4]
         assert d.max() < 1e-4
+
+    def test_pyramid_kernel_matches_xla(self):
+        """The single-dispatch whole-pyramid kernel (tile-metadata grid) must
+        reproduce the XLA NMS/raw/blur maps bit-(near-)exactly per level."""
+        import jax
+        from orb_slam2_detailed_comments_tpu.ops.pallas_fast import fast_pyramid_pallas
+        from orb_slam2_detailed_comments_tpu.ops.fast import fast_score_dense
+        from orb_slam2_detailed_comments_tpu.ops.pyramid import (
+            build_pyramid, pyramid_shapes, gaussian_blur)
+        img = jnp.asarray(textured_image(h=240, w=320, seed=5))
+        levels = build_pyramid(img, 4, 1.2)
+        shapes = pyramid_shapes(240, 320, 4, 1.2)
+        nms_l, raw_l, blur_l = fast_pyramid_pallas(
+            tuple(levels), shapes, 7.0,
+            interpret=jax.default_backend() == "cpu")
+        for lv in range(4):
+            limg = levels[lv]
+            assert np.abs(np.asarray(nms_l[lv]) -
+                          np.asarray(nms_3x3(fast_score_map(limg, 7.0)))).max() == 0.0
+            assert np.abs(np.asarray(raw_l[lv]) -
+                          np.asarray(fast_score_dense(limg)))[4:-4, 4:-4].max() == 0.0
+            assert np.abs(np.asarray(blur_l[lv]) -
+                          np.asarray(gaussian_blur(limg))).max() < 1e-3
