@@ -171,6 +171,26 @@ def distributed_global_ba(prob: BAProblem, cam, inv_sigma2_levels, mesh: Mesh,
     repl = P()
     shard = P(AXIS)
 
+    cam_Tcw = prob.cam_Tcw
+    points = prob.points
+    point_valid = prob.point_valid
+    inv_s2 = inv_sigma2_levels
+    if jax.process_count() > 1:
+        # multi-host: every process holds the full (host-replicated) problem;
+        # build process-spanning global arrays so the edge shards land on
+        # each host's local devices and the psums cross hosts
+        from .multihost import make_global_array
+        edge_cam = make_global_array(edge_cam, mesh, shard)
+        edge_point = make_global_array(edge_point, mesh, shard)
+        edge_obs = make_global_array(edge_obs, mesh, shard)
+        edge_octave = make_global_array(edge_octave, mesh, shard)
+        edge_valid = make_global_array(edge_valid, mesh, shard)
+        cam_Tcw = make_global_array(cam_Tcw, mesh, repl)
+        points = make_global_array(points, mesh, repl)
+        free_mask = make_global_array(free_mask, mesh, repl)
+        point_valid = make_global_array(point_valid, mesh, repl)
+        inv_s2 = make_global_array(inv_s2, mesh, repl)
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(repl, repl, repl, repl, shard, shard, shard, shard, shard, repl, repl),
@@ -186,12 +206,13 @@ def distributed_global_ba(prob: BAProblem, cam, inv_sigma2_levels, mesh: Mesh,
 
     one_iter = jax.jit(one_iter)
 
-    cam_Tcw = prob.cam_Tcw
-    points = prob.points
     for i in range(n_iters):
         use_kernel = jnp.asarray([i < n_iters // 2])
+        if jax.process_count() > 1:
+            from .multihost import make_global_array
+            use_kernel = make_global_array(use_kernel, mesh, repl)
         cam_Tcw, points = one_iter(
-            cam_Tcw, points, free_mask, prob.point_valid,
+            cam_Tcw, points, free_mask, point_valid,
             edge_cam, edge_point, edge_obs, edge_octave, edge_valid,
-            inv_sigma2_levels, use_kernel)
+            inv_s2, use_kernel)
     return cam_Tcw, points
