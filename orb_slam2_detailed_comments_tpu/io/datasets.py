@@ -35,14 +35,28 @@ def load_depth_png(path: str, depth_factor: float = 5000.0) -> np.ndarray:
 class TumRgbdDataset:
     """TUM RGB-D: rgb.txt / depth.txt with 'timestamp path' lines.
     Associates rgb<->depth by nearest timestamp (max_diff 0.02s), the same
-    policy as the benchmark's associate.py."""
+    policy as the benchmark's associate.py. Alternatively pass
+    ``associations`` — a pre-built association file with
+    `ts_rgb rgb_path ts_depth depth_path` lines, the format the reference's
+    rgbd_tum driver consumes (reference: Examples/RGB-D/rgbd_tum.cc
+    LoadImages)."""
 
-    def __init__(self, root: str, max_diff: float = 0.02, depth_factor: float = 5000.0):
+    def __init__(self, root: str, max_diff: float = 0.02, depth_factor: float = 5000.0,
+                 associations: Optional[str] = None):
         self.root = root
         self.depth_factor = depth_factor
+        self.pairs: List[Tuple[float, str, Optional[str]]] = []
+        if associations:
+            with open(associations) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    parts = line.split()
+                    self.pairs.append((float(parts[0]), parts[1], parts[3]))
+            return
         rgb = self._read_list(os.path.join(root, "rgb.txt"))
         depth = self._read_list(os.path.join(root, "depth.txt"))
-        self.pairs: List[Tuple[float, str, Optional[str]]] = []
         d_ts = np.asarray([t for t, _ in depth]) if depth else np.empty(0)
         for t, p in rgb:
             if len(depth):
@@ -118,15 +132,17 @@ class EurocDataset:
     (reference: Examples/Monocular/mono_euroc.cc LoadImages with
     EuRoC_TimeStamps)."""
 
-    def __init__(self, root: str, timestamps_file: Optional[str] = None, stereo: bool = False):
-        self.root = root
+    def __init__(self, root: Optional[str] = None, timestamps_file: Optional[str] = None,
+                 stereo: bool = False, cam0_dir: Optional[str] = None,
+                 cam1_dir: Optional[str] = None):
         self.stereo = stereo
-        cam0 = os.path.join(root, "mav0", "cam0", "data")
+        self.cam0 = cam0_dir or os.path.join(root, "mav0", "cam0", "data")
+        self.cam1 = cam1_dir or (os.path.join(root, "mav0", "cam1", "data") if root else None)
         if timestamps_file and os.path.exists(timestamps_file):
             with open(timestamps_file) as f:
                 names = [line.strip() for line in f if line.strip()]
         else:
-            names = sorted(os.path.splitext(n)[0] for n in os.listdir(cam0))
+            names = sorted(os.path.splitext(n)[0] for n in os.listdir(self.cam0))
         self.names = names
 
     def __len__(self):
@@ -135,7 +151,7 @@ class EurocDataset:
     def __getitem__(self, i):
         name = self.names[i]
         t = float(name) / 1e9
-        left = load_image_gray(os.path.join(self.root, "mav0", "cam0", "data", name + ".png"))
-        right = (load_image_gray(os.path.join(self.root, "mav0", "cam1", "data", name + ".png"))
+        left = load_image_gray(os.path.join(self.cam0, name + ".png"))
+        right = (load_image_gray(os.path.join(self.cam1, name + ".png"))
                  if self.stereo else None)
         return t, left, right
