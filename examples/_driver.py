@@ -27,8 +27,19 @@ from orb_slam2_detailed_comments_tpu.system import System
 def make_system(vocab_path: str, settings_path: str, sensor: Sensor) -> System:
     vocabulary = None
     if vocab_path and vocab_path != "-" and os.path.exists(vocab_path):
-        from orb_slam2_detailed_comments_tpu.place.vocabulary import BinaryVocabulary
-        vocabulary = BinaryVocabulary.load(vocab_path)
+        if vocab_path.endswith(".txt"):
+            # the reference's DBoW2 ORBvoc.txt format
+            from orb_slam2_detailed_comments_tpu.place.vocabulary_tree import TreeVocabulary
+            vocabulary = TreeVocabulary.load_dbow2_text(vocab_path)
+        else:
+            import numpy as np
+            data = np.load(vocab_path)
+            if "tree" in data:
+                from orb_slam2_detailed_comments_tpu.place.vocabulary_tree import TreeVocabulary
+                vocabulary = TreeVocabulary.load(vocab_path)
+            else:
+                from orb_slam2_detailed_comments_tpu.place.vocabulary import BinaryVocabulary
+                vocabulary = BinaryVocabulary.load(vocab_path)
     return System.from_settings_yaml(settings_path, sensor, vocabulary=vocabulary)
 
 

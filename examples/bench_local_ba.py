@@ -80,16 +80,39 @@ def make_problem(C=64, P=16384, E=49152, seed=0):
     return prob
 
 
-def timeit(fn, *args, n=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(n):
+def chain_time(step, state0, iters=8):
+    """Serialized-dependency-chain timing (the axon tunnel's
+    block_until_ready can return early; see CLAUDE.md). `step` maps
+    state -> state; one final HOST TRANSFER ends the chain."""
+    state = step(state0)           # compile
+    np.asarray(jax.tree.leaves(state)[0]).ravel()[0]
+    state = state0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step(state)
+    np.asarray(jax.tree.leaves(state)[0]).ravel()[0]
+    return (time.perf_counter() - t0) / iters
+
+
+def loop_time(op_step, state0, inner=50, reps=3):
+    """Time one op by running `inner` chained iterations INSIDE a single
+    jitted dispatch (tunnel dispatch overhead ~5-8 ms would otherwise
+    swamp sub-ms ops). Returns seconds per op iteration."""
+    import jax.lax as lax
+
+    @jax.jit
+    def run(state):
+        return lax.fori_loop(0, inner, lambda i, s: op_step(s), state)
+
+    state = run(state0)
+    np.asarray(jax.tree.leaves(state)[0]).ravel()[0]
+    best = float("inf")
+    for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+        state = run(state0)
+        np.asarray(jax.tree.leaves(state)[0]).ravel()[0]
+        best = min(best, time.perf_counter() - t0)
+    return best / inner
 
 
 def main():
@@ -98,49 +121,100 @@ def main():
     cam = PinholeCamera(fx=500.0, fy=500.0, cx=320.0, cy=240.0)
     inv_s2 = jnp.ones(8, jnp.float32)
 
-    t = timeit(lambda: local_bundle_adjustment(prob, cam, inv_s2))
+    # chain-overhead baseline: trivial step on the same state pytree
+    @jax.jit
+    def null_step(state):
+        c, p = state
+        return c + 1e-9, p + 1e-9
+
+    t = chain_time(null_step, (prob.cam_Tcw, prob.points))
+    print(f"null step (chain/dispatch overhead):            {t*1e3:.2f} ms")
+
+    def ba_step(state):
+        c, p = state
+        nc, np_, _ = local_bundle_adjustment(
+            prob._replace(cam_Tcw=c, points=p), cam, inv_s2)
+        return nc, np_
+
+    t = chain_time(ba_step, (prob.cam_Tcw, prob.points), iters=4)
     print(f"local_bundle_adjustment max bucket: {t*1e3:.1f} ms")
 
-    # isolate: scatter-add accumulation of (E,3,3) blocks into (P,3,3)
+    # isolate: scatter-add accumulation of (E,3,3) blocks into (P,3,3);
+    # each step's output feeds the next via a gather so the chain serializes
     key = jax.random.PRNGKey(0)
     blocks = jax.random.normal(key, (E, 3, 3), jnp.float32)
     idx = prob.edge_point
 
-    @jax.jit
-    def scat(blocks, idx):
-        return jnp.zeros((P, 3, 3)).at[idx].add(blocks)
+    def fb(x, out):
+        # scalar-sum feedback: serializes the chain without a gather
+        return x + 1e-12 * jnp.sum(out)
 
-    t = timeit(scat, blocks, idx)
-    print(f"scatter-add (E={E})->(P,3,3):     {t*1e3:.2f} ms")
+    def scat(blocks):
+        return fb(blocks, jnp.zeros((P, 3, 3)).at[idx].add(blocks))
 
-    @jax.jit
-    def scatA(blocks6, ip, ic):
-        return jnp.zeros((P, C, 6, 3)).at[ip, ic].add(blocks6)
+    t = loop_time(scat, blocks)
+    print(f"scatter-add (E={E})->(P,3,3):       {t*1e3:.2f} ms")
+
+    def scatA(blocks6):
+        return fb(blocks6, jnp.zeros((P, C, 6, 3)).at[prob.edge_point, prob.edge_cam].add(blocks6))
 
     blocks6 = jax.random.normal(key, (E, 6, 3), jnp.float32)
-    t = timeit(scatA, blocks6, prob.edge_point, prob.edge_cam)
-    print(f"scatter-add (E)->(P,C,6,3):       {t*1e3:.2f} ms")
+    t = loop_time(scatA, blocks6, inner=20)
+    print(f"scatter-add (E)->(P,C,6,3):         {t*1e3:.2f} ms")
 
     # alternative: camera one-hot matmul for (C,6,6)-style accumulations
-    @jax.jit
-    def onehot_cam(blocks, ic):
-        oh = (ic[None, :] == jnp.arange(C)[:, None]).astype(jnp.float32)
-        return (oh @ blocks.reshape(E, 9)).reshape(C, 3, 3)
+    def onehot_cam(blocks):
+        oh = (prob.edge_cam[None, :] == jnp.arange(C)[:, None]).astype(jnp.float32)
+        return fb(blocks, (oh @ blocks.reshape(E, 9)).reshape(C, 3, 3))
 
-    t = timeit(onehot_cam, blocks, prob.edge_cam)
-    print(f"one-hot matmul (E)->(C,3,3):      {t*1e3:.2f} ms")
+    t = loop_time(onehot_cam, blocks)
+    print(f"one-hot matmul (E)->(C,3,3):        {t*1e3:.2f} ms")
 
     # alternative: sorted-segment reduction via cumsum for (P,3,3)
-    @jax.jit
-    def segsum(blocks, idx):
+    def segsum(blocks):
         flat = blocks.reshape(E, 9)
         cs = jnp.concatenate([jnp.zeros((1, 9)), jnp.cumsum(flat, 0)], 0)
         start = jnp.searchsorted(idx, jnp.arange(P))
         end = jnp.searchsorted(idx, jnp.arange(P), side="right")
-        return (cs[end] - cs[start]).reshape(P, 3, 3)
+        return fb(blocks, (cs[end] - cs[start]).reshape(P, 3, 3))
 
-    t = timeit(segsum, blocks, idx)
-    print(f"cumsum segment-sum (E)->(P,3,3):  {t*1e3:.2f} ms")
+    t = loop_time(segsum, blocks)
+    print(f"cumsum segment-sum (E)->(P,3,3):    {t*1e3:.2f} ms")
+
+    # grouped layout: (P, K) reduction (the scatter-free candidate)
+    K = 8
+    gb = jax.random.normal(key, (P, K, 3, 3), jnp.float32)
+
+    def grouped(gb):
+        return fb(gb, jnp.sum(gb, axis=1))
+
+    t = loop_time(grouped, gb)
+    print(f"grouped (P,K={K}) reduce -> (P,3,3):   {t*1e3:.2f} ms")
+
+    # row gathers as used by _edge_terms: points[edge_point], cams[edge_cam]
+    pts = jax.random.normal(key, (P, 3), jnp.float32)
+
+    def gath_p(pts):
+        return fb(pts, pts[prob.edge_point])
+
+    t = loop_time(gath_p, pts)
+    print(f"row gather (P,3)[E]:                {t*1e3:.2f} ms")
+
+    cams44 = jax.random.normal(key, (C, 4, 4), jnp.float32)
+
+    def gath_c(cams44):
+        return fb(cams44, cams44[prob.edge_cam])
+
+    t = loop_time(gath_c, cams44)
+    print(f"row gather (C,4,4)[E]:              {t*1e3:.2f} ms")
+
+    # one-hot alternative for the (C,4,4)[E] gather
+    def gath_c_oh(cams44):
+        oh = (prob.edge_cam[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
+        return fb(cams44, (oh @ cams44.reshape(C, 16)).reshape(E, 4, 4))
+
+    t = loop_time(gath_c_oh, cams44)
+    print(f"one-hot gather (C,4,4)[E]:          {t*1e3:.2f} ms")
 
 
 if __name__ == "__main__":

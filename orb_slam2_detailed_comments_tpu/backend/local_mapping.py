@@ -29,8 +29,8 @@ from ..utils.config import SlamConfig
 
 # static capacities for the local-BA device problem. Problems are padded
 # to the smallest fitting bucket so typical windows compile once and pay
-# for their own size, not the worst case (the max bucket costs ~570 ms on
-# a v5e; the small bucket is ~10x cheaper).
+# for their own size, not the worst case (the max bucket costs ~52 ms on
+# a v5e with the k-major grouped solver; small buckets are cheaper still).
 BA_BUCKETS = (
     (16, 4096, 12288),
     (32, 8192, 24576),

@@ -1,0 +1,123 @@
+"""TreeVocabulary: k-ary tree quantization, DBoW2 text round-trip,
+FeatureVector node grouping, and agreement with the flat vocabulary's
+scoring semantics (reference: Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h)."""
+import numpy as np
+import pytest
+
+from orb_slam2_detailed_comments_tpu.place.vocabulary import BinaryVocabulary
+from orb_slam2_detailed_comments_tpu.place.vocabulary_tree import (
+    TreeVocabulary, _hamming_np)
+
+
+def random_descs(n, seed=0, clusters=8):
+    """Clustered 256-bit descriptors (cluster center + few bit flips)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.integers(0, 2 ** 32, (clusters, 8), dtype=np.uint32)
+    out = np.empty((n, 8), np.uint32)
+    for i in range(n):
+        c = centers[i % clusters].copy()
+        for _ in range(rng.integers(0, 6)):
+            w = rng.integers(0, 8)
+            c[w] ^= np.uint32(1) << np.uint32(rng.integers(0, 32))
+        out[i] = c
+    return out
+
+
+class TestTreeVocabulary:
+    def test_train_and_quantize(self):
+        desc = random_descs(400, seed=1)
+        voc = TreeVocabulary.train(desc, k=4, L=3, seed=0)
+        assert voc.n_words > 8
+        wid, bow = voc.transform(desc[:50], np.ones(50, bool))
+        assert wid.shape == (50,) and (wid >= 0).all()
+        assert abs(bow.sum() - 1.0) < 1e-5
+        # quantization maps a descriptor near the leaf whose center is close
+        leaves = voc.node_desc[voc.word_node]
+        d_leaf = _hamming_np(desc[:50], leaves)
+        # the tree descent is greedy, so allow near-optimal (within 2 bits
+        # of the best leaf for clustered data)
+        best = d_leaf.min(axis=1)
+        got = d_leaf[np.arange(50), wid[:50]]
+        assert np.median(got - best) <= 2
+
+    def test_same_descriptor_same_word(self):
+        desc = random_descs(100, seed=2)
+        voc = TreeVocabulary.train(desc, k=3, L=2, seed=0)
+        wid1, _ = voc.transform(desc[:10], np.ones(10, bool))
+        wid2, _ = voc.transform(desc[:10], np.ones(10, bool))
+        np.testing.assert_array_equal(wid1, wid2)
+
+    def test_score_semantics_match_flat(self):
+        # L1 score on L1-normalized TF-IDF vectors, same as flat vocab
+        v1 = np.asarray([0.5, 0.25, 0.25, 0.0], np.float32)
+        v2 = np.asarray([0.25, 0.5, 0.0, 0.25], np.float32)
+        assert TreeVocabulary.score(v1, v2) == BinaryVocabulary.score(v1, v2)
+        assert TreeVocabulary.score(v1, v1) == pytest.approx(1.0)
+
+    def test_feature_vector_grouping(self):
+        desc = random_descs(300, seed=3)
+        voc = TreeVocabulary.train(desc, k=3, L=3, seed=0)
+        wid, nid = voc.descend(desc[:60], np.ones(60, bool), levels_up=2)
+        assert (nid >= 0).all()
+        # the grouping node must be an ancestor of the leaf word's node
+        for i in range(60):
+            node = voc.word_node[wid[i]]
+            anc = node
+            found = False
+            while anc != -1:
+                if anc == nid[i]:
+                    found = True
+                    break
+                anc = voc.node_parent[anc]
+            assert found, f"node {nid[i]} not an ancestor of leaf {node}"
+
+    def test_npz_roundtrip(self, tmp_path):
+        desc = random_descs(200, seed=4)
+        voc = TreeVocabulary.train(desc, k=3, L=2, seed=0)
+        voc.save(str(tmp_path / "voc.npz"))
+        voc2 = TreeVocabulary.load(str(tmp_path / "voc.npz"))
+        w1, b1 = voc.transform(desc[:20], np.ones(20, bool))
+        w2, b2 = voc2.transform(desc[:20], np.ones(20, bool))
+        np.testing.assert_array_equal(w1, w2)
+        np.testing.assert_allclose(b1, b2)
+
+    def test_dbow2_text_roundtrip(self, tmp_path):
+        # write the DBoW2 ORBvoc.txt format and load it back: quantization
+        # must be identical (validates the loadFromTextFile-format reader)
+        desc = random_descs(200, seed=5)
+        voc = TreeVocabulary.train(desc, k=3, L=2, seed=0)
+        path = str(tmp_path / "voc_dbow2.txt")
+        voc.save_dbow2_text(path)
+        voc2 = TreeVocabulary.load_dbow2_text(path)
+        assert voc2.k == voc.k and voc2.L == voc.L
+        assert voc2.n_words == voc.n_words
+        w1, _ = voc.transform(desc[:30], np.ones(30, bool))
+        w2, _ = voc2.transform(desc[:30], np.ones(30, bool))
+        # word ids may be renumbered by file order; compare via leaf descs
+        l1 = voc.node_desc[voc.word_node[w1]]
+        l2 = voc2.node_desc[voc2.word_node[w2]]
+        np.testing.assert_array_equal(l1, l2)
+
+    def test_collapse_to_level(self):
+        desc = random_descs(300, seed=6)
+        voc = TreeVocabulary.train(desc, k=3, L=3, seed=0)
+        small = voc.collapse_to_level(1)
+        assert 0 < small.n_words <= 3
+        wid, bow = small.transform(desc[:20], np.ones(20, bool))
+        assert (wid >= 0).all() and (wid < small.n_words).all()
+        assert abs(bow.sum() - 1.0) < 1e-5
+
+
+def test_system_accepts_tree_vocabulary():
+    """System + KeyFrameDatabase run with a TreeVocabulary in place of the
+    flat one (interface parity: transform + n_words + score)."""
+    from orb_slam2_detailed_comments_tpu.place.kf_database import KeyFrameDatabase
+    desc = random_descs(400, seed=7)
+    voc = TreeVocabulary.train(desc, k=4, L=2, seed=0)
+    db = KeyFrameDatabase(voc, max_keyframes=10)
+    # add two keyframes' bow vectors and query
+    w0, b0 = voc.transform(desc[:100], np.ones(100, bool))
+    w1, b1 = voc.transform(desc[100:200], np.ones(100, bool))
+    db.add(0, b0)
+    db.add(1, b1)
+    assert voc.score(b0, b0) == pytest.approx(1.0)
