@@ -155,3 +155,20 @@ class EurocDataset:
         right = (load_image_gray(os.path.join(self.cam1, name + ".png"))
                  if self.stereo else None)
         return t, left, right
+
+
+class RectifiedStereoDataset:
+    """Wrap a stereo dataset yielding raw pairs with per-frame rectification
+    (reference: stereo_euroc.cc:165-166 cv::remap before TrackStereo)."""
+
+    def __init__(self, base, rectifier):
+        self.base = base
+        self.rectifier = rectifier
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i):
+        t, left, right = self.base[i]
+        left, right = self.rectifier(left, right)
+        return t, left, right

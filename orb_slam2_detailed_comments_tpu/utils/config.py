@@ -61,17 +61,58 @@ _YAML_KV = re.compile(r"^\s*([A-Za-z0-9_.]+)\s*:\s*(.*?)\s*$")
 
 def _parse_opencv_yaml(path: str) -> dict:
     """Minimal parser for the reference's OpenCV YAML settings files
-    (flat `Key.Sub: value` pairs, '%YAML:1.0' header, '#' comments)."""
+    (flat `Key.Sub: value` pairs, '%YAML:1.0' header, '#' comments), plus
+    `!!opencv-matrix` blocks (rows/cols/dt/data) used by the stereo
+    rectification calibration in EuRoC settings (reference:
+    Examples/Stereo/EuRoC.yaml:38-86) — parsed into numpy arrays."""
+    import numpy as np
+
     out: dict = {}
+    mat_key = None          # key of the opencv-matrix currently being parsed
+    mat: dict = {}
+
+    def finish_matrix():
+        nonlocal mat_key, mat
+        if mat_key is not None and "data" in mat:
+            arr = np.asarray(mat["data"], dtype=np.float64)
+            r, c = int(mat.get("rows", 1)), int(mat.get("cols", arr.size))
+            out[mat_key] = arr.reshape(r, c)
+        mat_key, mat = None, {}
+
     with open(path, "r", encoding="utf-8", errors="replace") as f:
         for line in f:
             line = line.split("#", 1)[0].rstrip()
             if not line or line.startswith("%"):
                 continue
+            if mat_key is not None:
+                # inside a matrix block: rows/cols/dt/data, data may span lines
+                if "data_open" in mat:  # continuation of a data list
+                    mat["data"].extend(
+                        float(tok) for tok in re.findall(r"[-+0-9.eE]+", line))
+                    if "]" in line:
+                        del mat["data_open"]
+                        finish_matrix()
+                    continue
+                m = _YAML_KV.match(line)
+                if m and m.group(1) in ("rows", "cols", "dt", "data"):
+                    k, v = m.group(1), m.group(2)
+                    if k == "data":
+                        mat["data"] = [float(t) for t in re.findall(r"[-+0-9.eE]+", v)]
+                        if "]" not in v:
+                            mat["data_open"] = True
+                        else:
+                            finish_matrix()
+                    elif k in ("rows", "cols"):
+                        mat[k] = int(v)
+                    continue
+                finish_matrix()  # block ended without data; fall through
             m = _YAML_KV.match(line)
             if not m:
                 continue
             key, val = m.group(1), m.group(2)
+            if "!!opencv-matrix" in val:
+                mat_key, mat = key, {}
+                continue
             if not val:
                 continue
             try:
@@ -81,7 +122,14 @@ def _parse_opencv_yaml(path: str) -> dict:
                     out[key] = float(val)
                 except ValueError:
                     out[key] = val.strip("\"'")
+        finish_matrix()
     return out
+
+
+def load_settings_raw(path: str) -> dict:
+    """All key/value pairs of a reference-format settings YAML, including
+    `!!opencv-matrix` entries (LEFT.K etc.) as numpy arrays."""
+    return _parse_opencv_yaml(path)
 
 
 def load_settings_yaml(path: str, width: Optional[int] = None, height: Optional[int] = None) -> SlamConfig:
