@@ -593,6 +593,17 @@ class Tracker:
         ref_mps = ref_mps[ref_mps >= 0]
         ref_mps = ref_mps[self.map.mp_valid[ref_mps]]
         ref_tracked = int((self.map.mp_n_obs[ref_mps] >= min_obs).sum())
+        # young-map degeneracy guard (beyond reference): under fast view
+        # change a fresh map's points never reach 3 observations, so the
+        # >=3-obs count is ~0 and the ratio trigger goes permanently dead —
+        # keyframes then only spawn via the close-point rule, by which time
+        # the previous KF's points have left their scale band and recent-
+        # point culling evaporates the map behind the camera (no loop can
+        # ever close). When almost no reference points are mature, fall
+        # back to counting all its valid points; this restores the paper's
+        # "insert generously, cull later" policy on young/fast segments.
+        if min_obs == 3 and ref_tracked < 30:
+            ref_tracked = int(ref_mps.size)
 
         matched = (frame.mp >= 0) & ~frame.is_outlier
         n_matches = int(matched.sum())

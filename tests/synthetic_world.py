@@ -147,3 +147,109 @@ def smooth_trajectory(n_frames: int, step=0.04, yaw_amp=0.02, y_amp=0.05, seed=0
         t = -R @ C
         poses.append(np.asarray(make_se3(jnp.asarray(R), jnp.asarray(t)), np.float32))
     return np.stack(poses)
+
+
+class CylinderWorld:
+    """Camera inside a textured cylinder (axis = world y).
+
+    Unlike PlanesWorld, every yaw direction sees texture, which is what a
+    rendered LOOP sequence needs: a camera circling with 360 degrees of yaw
+    revisits its starting view with full feature overlap (the reference's
+    loop-closing path is exercised on exactly such trajectories, e.g.
+    KITTI 00).
+    """
+
+    def __init__(self, fx=250.0, fy=250.0, cx=160.0, cy=120.0,
+                 width=320, height=240, radius=8.0, texture_seed=0):
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.width, self.height = width, height
+        self.radius = radius
+        self.tex = make_texture(seed=texture_seed, n_blobs=12000)
+        # make the texture azimuthally DISTINCTIVE (like a real street):
+        # statistically uniform blobs give near-identical BoW histograms at
+        # every azimuth, which no vocabulary can discriminate. Superimpose
+        # seeded large-scale landmarks + a contrast modulation around the
+        # circumference so each viewing direction has a recognizable word
+        # distribution.
+        size = self.tex.shape[0]
+        rng = np.random.default_rng(texture_seed + 7)
+        for _ in range(24):
+            x0 = rng.integers(0, size)
+            y0 = rng.integers(0, size - 160)
+            w = int(rng.integers(40, 140))
+            h = int(rng.integers(40, 140))
+            val = rng.uniform(10, 250)
+            xs = (np.arange(x0, x0 + w) % size)
+            self.tex[y0:y0 + h, xs] = 0.5 * self.tex[y0:y0 + h, xs] + 0.5 * val
+        mod = 0.65 + 0.35 * np.sin(2 * np.pi * np.arange(size) / size * 3)
+        self.tex = (self.tex - 128.0) * mod[None, :] + 128.0
+        self.tex = np.clip(self.tex, 0, 255).astype(np.float32)
+        # texture pixels per world unit: one exact wrap of the texture
+        # around the circumference (no duplicated features at the seam)
+        self.tex_scale = self.tex.shape[0] / (2 * np.pi * radius)
+
+    def _rays(self, Tcw):
+        us, vs = np.meshgrid(np.arange(self.width, dtype=np.float32),
+                             np.arange(self.height, dtype=np.float32))
+        d_c = np.stack([(us - self.cx) / self.fx, (vs - self.cy) / self.fy,
+                        np.ones_like(us)], axis=-1)
+        R = Tcw[:3, :3]
+        t = Tcw[:3, 3]
+        C = -R.T @ t
+        return C, d_c @ R
+
+    def _hit(self, C, d_w):
+        a = d_w[..., 0] ** 2 + d_w[..., 2] ** 2
+        b = 2.0 * (C[0] * d_w[..., 0] + C[2] * d_w[..., 2])
+        c = C[0] ** 2 + C[2] ** 2 - self.radius ** 2
+        disc = np.maximum(b * b - 4 * a * c, 0.0)
+        lam = (-b + np.sqrt(disc)) / np.where(a < 1e-12, 1e-12, 2 * a)
+        p = C[None, None, :] + lam[..., None] * d_w
+        return p, lam
+
+    def render(self, Tcw):
+        C, d_w = self._rays(Tcw)
+        p, lam = self._hit(C, d_w)
+        size = self.tex.shape[0]
+        theta = np.arctan2(p[..., 0], p[..., 2])  # (-pi, pi]
+        tx = theta * self.radius * self.tex_scale
+        ty = p[..., 1] * self.tex_scale + size // 2
+        x0 = np.floor(tx).astype(np.int64)
+        y0 = np.floor(ty).astype(np.int64)
+        ax = (tx - x0).astype(np.float32)
+        ay = (ty - y0).astype(np.float32)
+        x0m, x1m = np.mod(x0, size), np.mod(x0 + 1, size)
+        y0m, y1m = np.mod(y0, size), np.mod(y0 + 1, size)
+        t = self.tex
+        img = ((1 - ax) * (1 - ay) * t[y0m, x0m] + ax * (1 - ay) * t[y0m, x1m]
+               + (1 - ax) * ay * t[y1m, x0m] + ax * ay * t[y1m, x1m])
+        return np.where(lam > 0, img, 0.0).astype(np.float32)
+
+    def render_depth(self, Tcw):
+        C, d_w = self._rays(Tcw)
+        p, lam = self._hit(C, d_w)
+        R = Tcw[:3, :3]
+        t = Tcw[:3, 3]
+        pc = p @ R.T + t
+        return np.maximum(pc[..., 2], 0.0).astype(np.float32)
+
+
+def loop_trajectory(n_frames: int, path_radius: float = 2.0,
+                    laps: float = 1.0, overlap: int = 6):
+    """Ground-truth world->cam poses circling with outward (radial) view:
+    the final ``overlap`` frames re-observe the first views, closing the
+    loop. Yaw sweeps 360 deg per lap."""
+    poses = []
+    total = n_frames
+    for i in range(total):
+        phi = 2 * np.pi * laps * i / max(total - overlap, 1)
+        c, s = np.cos(phi), np.sin(phi)
+        Rwc = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], np.float32)
+        C = path_radius * np.array([s, 0.0, c], np.float32)
+        Rcw = Rwc.T
+        t = -Rcw @ C
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rcw
+        T[:3, 3] = t
+        poses.append(T)
+    return np.stack(poses)
