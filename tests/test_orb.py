@@ -213,3 +213,31 @@ class TestPallasFast:
                           np.asarray(fast_score_dense(limg)))[4:-4, 4:-4].max() == 0.0
             assert np.abs(np.asarray(blur_l[lv]) -
                           np.asarray(gaussian_blur(limg))).max() < 1e-3
+
+
+class TestOnehotDescriptorPath:
+    def test_onehot_matches_gather_path(self, monkeypatch):
+        """ORB_DESC_ONEHOT=1 replaces the per-keypoint 512-point patch
+        gather with a one-hot row/column MXU contraction; the sampled values
+        round-trip through exact small-integer float arithmetic, so the
+        descriptor bits and angles must be IDENTICAL to the gather path."""
+        from orb_slam2_detailed_comments_tpu.ops.orb import (
+            _fused_level_angles_descriptors)
+        from orb_slam2_detailed_comments_tpu.ops.pyramid import gaussian_blur
+
+        img = jnp.asarray(textured_image(h=120, w=160, seed=11))
+        blurred = gaussian_blur(img)
+        rng = np.random.default_rng(0)
+        xy = np.stack([rng.integers(0, 160, 64), rng.integers(0, 120, 64)],
+                      axis=-1).astype(np.int32)
+        valid = np.ones(64, bool)
+
+        monkeypatch.delenv("ORB_DESC_ONEHOT", raising=False)
+        ang0, desc0 = _fused_level_angles_descriptors(
+            img, blurred, jnp.asarray(xy), jnp.asarray(valid))
+        monkeypatch.setenv("ORB_DESC_ONEHOT", "1")
+        ang1, desc1 = _fused_level_angles_descriptors(
+            img, blurred, jnp.asarray(xy), jnp.asarray(valid))
+
+        assert np.array_equal(np.asarray(desc0), np.asarray(desc1))
+        assert np.allclose(np.asarray(ang0), np.asarray(ang1))
