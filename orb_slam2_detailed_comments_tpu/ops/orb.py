@@ -95,26 +95,6 @@ def _select_level_keypoints(score, budget: int, cell: int):
     )
 
 
-def _ic_angles(level_img, xy, valid):
-    """Intensity-centroid orientation at integer keypoint coords.
-    level_img: (H, W); xy: (M, 2) int32. Returns (M,) float32 radians."""
-    mask, xs, ys = ic_angle_offsets()
-    mask = jnp.asarray(mask)
-    wx = jnp.asarray(xs) * mask
-    wy = jnp.asarray(ys) * mask
-    r = HALF_PATCH
-    padded = jnp.pad(level_img, ((r, r), (r, r)), mode="edge")
-
-    def one(p):
-        patch = jax.lax.dynamic_slice(padded, (p[1], p[0]), (2 * r + 1, 2 * r + 1))
-        m10 = jnp.sum(patch * wx)
-        m01 = jnp.sum(patch * wy)
-        return jnp.arctan2(m01, m10)
-
-    ang = jax.vmap(one)(xy)
-    return jnp.where(valid, ang, 0.0)
-
-
 @functools.lru_cache(maxsize=None)
 def _ic_weights_39():
     """IC-angle coordinate weights zero-padded from 31x31 to the 39x39
@@ -156,15 +136,10 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
     py = jnp.concatenate([y0, y1])
     r = DESC_RADIUS
     psize = 2 * r + 1
-    # the pattern is BOX-clipped at +-13 (ops/pattern.py), so a rotated
-    # offset can reach 13*sqrt(2)+rounding <= 19: use the full patch
-    sub_r = r
-    sub0 = 0
-    ssize = psize
     pair = jnp.stack([raw_img, blurred_img])  # (2, H, W)
     padded = jnp.pad(pair, ((0, 0), (r, r), (r, r)), mode="edge")
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    iota_s = jnp.arange(ssize, dtype=jnp.int32)
+    iota_s = jnp.arange(psize, dtype=jnp.int32)
 
     def one(p):
         patch = jax.lax.dynamic_slice(padded, (0, p[1], p[0]), (2, psize, psize))
@@ -176,10 +151,9 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
         dx = jnp.round(px * ca - py * sa).astype(jnp.int32)  # (512,)
         dy = jnp.round(px * sa + py * ca).astype(jnp.int32)
         if use_onehot:
-            sub = jax.lax.slice(blurp, (sub0, sub0), (sub0 + ssize, sub0 + ssize))
-            row1h = (iota_s[None, :] == (dy + sub_r)[:, None]).astype(sub.dtype)
-            col1h = (iota_s[None, :] == (dx + sub_r)[:, None]).astype(sub.dtype)
-            rows = jnp.dot(row1h, sub, preferred_element_type=jnp.float32)
+            row1h = (iota_s[None, :] == (dy + r)[:, None]).astype(blurp.dtype)
+            col1h = (iota_s[None, :] == (dx + r)[:, None]).astype(blurp.dtype)
+            rows = jnp.dot(row1h, blurp, preferred_element_type=jnp.float32)
             v = jnp.sum(rows * col1h, axis=-1)  # (512,)
         else:
             flat = blurp.reshape(-1)
@@ -201,46 +175,6 @@ def _pattern_arrays(seed: int = 1234):
         np.asarray(p[:, 0], np.float32), np.asarray(p[:, 1], np.float32),
         np.asarray(p[:, 2], np.float32), np.asarray(p[:, 3], np.float32),
     )
-
-
-def _brief_descriptors(blurred_img, xy, angle, valid):
-    """Rotated-BRIEF descriptors.
-
-    blurred_img: (H, W) blurred level image; xy: (M, 2) int32 keypoint
-    coords on this level; angle: (M,) radians. Returns (M, 8) uint32.
-    """
-    x0, y0, x1, y1 = _pattern_arrays()
-    x0 = jnp.asarray(x0); y0 = jnp.asarray(y0)
-    x1 = jnp.asarray(x1); y1 = jnp.asarray(y1)
-    r = DESC_RADIUS
-    padded = jnp.pad(blurred_img, ((r, r), (r, r)), mode="edge")
-    psize = 2 * r + 1
-
-    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (M,)
-
-    # rotated integer offsets, same rounding as the reference's cvRound
-    # (reference: ORBextractor.cc:177-254 GET_VALUE macro)
-    def rot(px, py):
-        dx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None]).astype(jnp.int32)
-        dy = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None]).astype(jnp.int32)
-        return dx, dy
-
-    dx0, dy0 = rot(x0, y0)  # (M, 256)
-    dx1, dy1 = rot(x1, y1)
-
-    def one(args):
-        p, d0x, d0y, d1x, d1y = args
-        patch = jax.lax.dynamic_slice(padded, (p[1], p[0]), (psize, psize))
-        flat = patch.reshape(-1)
-        v0 = flat[(d0y + r) * psize + (d0x + r)]
-        v1 = flat[(d1y + r) * psize + (d1x + r)]
-        return v0 < v1  # (256,) bool
-
-    bits = jax.vmap(one)((xy, dx0, dy0, dx1, dy1))  # (M, 256)
-    b = bits.astype(jnp.uint32).reshape(-1, 8, 32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    desc = jnp.sum(b << shifts, axis=-1).astype(jnp.uint32)
-    return jnp.where(valid[:, None], desc, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "n_features"))
