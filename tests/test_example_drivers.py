@@ -89,3 +89,42 @@ def test_euroc_dataset_explicit_dirs(tum_seq):
     assert len(ds) == 8
     t, left, right = ds[0]
     assert left.shape == (240, 320) and right.shape == (240, 320)
+
+
+@pytest.fixture(scope="module")
+def kitti_seq(tmp_path_factory):
+    """KITTI-odometry-format stereo sequence on disk (image_0/image_1 +
+    times.txt, %06d.png names — reference: stereo_kitti.cc LoadImages)."""
+    from PIL import Image
+    root = tmp_path_factory.mktemp("kitti_seq")
+    (root / "image_0").mkdir()
+    (root / "image_1").mkdir()
+    world = PlanesWorld(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
+                        width=320, height=240, texture_seed=9)
+    baseline = 0.12
+    poses = smooth_trajectory(8, step=0.05)
+    T_rl = np.eye(4, dtype=np.float32)
+    T_rl[0, 3] = -baseline
+    times = []
+    for i in range(8):
+        left = world.render(poses[i]).astype(np.uint8)
+        right = world.render(T_rl @ poses[i]).astype(np.uint8)
+        Image.fromarray(left, mode="L").save(root / "image_0" / f"{i:06d}.png")
+        Image.fromarray(right, mode="L").save(root / "image_1" / f"{i:06d}.png")
+        times.append(f"{i * 0.1:.6e}")
+    (root / "times.txt").write_text("\n".join(times) + "\n")
+    settings = SETTINGS.replace("Camera.bf: 25.0", f"Camera.bf: {250.0 * baseline}")
+    (root / "settings.yaml").write_text(settings)
+    return root
+
+
+def test_stereo_kitti_driver(kitti_seq, tmp_path, monkeypatch):
+    import stereo_kitti
+    monkeypatch.chdir(tmp_path)
+    rc = stereo_kitti.main(["stereo_kitti", "-", str(kitti_seq / "settings.yaml"),
+                            str(kitti_seq)])
+    assert rc == 0
+    out = (tmp_path / "CameraTrajectory_kitti.txt").read_text().splitlines()
+    assert len(out) >= 6
+    # KITTI format: 12 floats (3x4 row-major pose) per line
+    assert all(len(line.split()) == 12 for line in out)
