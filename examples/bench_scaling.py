@@ -29,9 +29,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_problem(n_cams, n_points, obs_per_cam, seed=0):
+def build_problem(n_cams, n_points, obs_per_cam, seed=0, as_numpy=False):
+    """as_numpy=True keeps all arrays host-side (BAProblem fields accept
+    numpy; jit converts on entry). Essential when the TPU is reached via
+    the axon tunnel: pulling a built-on-device problem back to the host
+    for grouping costs ~60 s in transfers."""
     import jax.numpy as jnp
     from orb_slam2_detailed_comments_tpu.optim.local_ba import BAProblem
+    if as_numpy:
+        jnp = np
 
     rng = np.random.default_rng(seed)
     # cameras on a long noisy trajectory (KITTI-like forward motion)
@@ -52,14 +58,14 @@ def build_problem(n_cams, n_points, obs_per_cam, seed=0):
 
     prob = BAProblem(
         cam_Tcw=jnp.asarray(cams),
-        cam_free=jnp.asarray([False, False] + [True] * (n_cams - 2)),
+        cam_free=jnp.asarray(np.asarray([False, False] + [True] * (n_cams - 2))),
         cam_valid=jnp.ones(n_cams, bool),
         points=jnp.asarray(pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)),
         point_valid=jnp.ones(n_points, bool),
         edge_cam=jnp.asarray(e_cam),
         edge_point=jnp.asarray(e_pt),
         edge_obs=jnp.asarray(e_obs),
-        edge_octave=jnp.zeros(E, jnp.int32),
+        edge_octave=jnp.zeros(E, np.int32),
         edge_valid=jnp.ones(E, bool),
     )
     return prob

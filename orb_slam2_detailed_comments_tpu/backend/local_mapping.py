@@ -492,7 +492,12 @@ class LocalMapper:
             edge_valid=jnp.ones(E, bool),
         )
         # shard over the device mesh when more than one device is attached
-        # (beyond-reference: the reference's GBA is single-threaded g2o)
+        # (beyond-reference: the reference's GBA is single-threaded g2o).
+        # NOTE: the grouped scatter-free GBA (optim/global_ba_grouped.py)
+        # measured 3.3x SLOWER than this flat PCG on a real v5e at the
+        # KITTI-00-10-batch scale (1742 vs 527 ms/GN iter, 1408 cams /
+        # 360k edges) — its permutation gathers cost more than the flat
+        # path's scatter-adds — so flat stays the production path.
         import jax as _jax
         if len(_jax.devices()) > 1 and E >= 4096:
             from ..parallel.distributed_ba import distributed_global_ba, make_ba_mesh

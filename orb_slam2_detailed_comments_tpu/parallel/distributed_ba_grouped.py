@@ -1,0 +1,218 @@
+"""Distributed global BA over the scatter-free grouped layout.
+
+The flat distributed solver (parallel/distributed_ba.py) shards edges and
+still pays per-edge `.at[].add` scatter-adds inside every shard — the exact
+serialization the grouped layout removes (optim/global_ba_grouped.py).
+Here the sharding axis is *points*: each device owns a slice of map points
+together with the point-major (Kp, P_local) grid of all their observations,
+so every point-side reduction (Hpp, g_p, A^T x) is shard-local with zero
+communication, and every camera-side reduction (Hcc, g_c, A Hpp^-1 A^T x)
+is one per-device take+sum followed by a single psum over the mesh — the
+Schur-complement reduction expressed as an XLA collective (reference has no
+distributed runtime at all; SURVEY.md section 2.3).
+
+Per CG matvec this costs exactly ONE psum of 6 (C,) columns (the flat
+sharded solver needed two: A^T x over points and A(...) over cameras,
+because its points were replicated).
+
+Host-side preprocessing partitions points into degree-balanced shards and
+builds every shard's GroupedGBA with a COMMON static shape (force_kp /
+force_kc / min_sp / min_sc), so one jitted shard_map program serves all
+devices.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..geometry.se3 import se3_renormalize
+from ..optim.local_ba import BAProblem
+from ..optim.global_ba_grouped import (GroupedGBA, group_global_problem,
+                                       _gba_grouped_iteration, _grouped_chi2)
+from ..optim.robust import CHI2_MONO, CHI2_STEREO
+
+AXIS = "pt"
+
+# GroupedGBA fields that are per-shard (everything else is camera-side and
+# replicated across the mesh)
+_SHARDED_FIELDS = ("points", "point_valid", "g_cam", "g_obs", "g_inv_s2",
+                   "g_valid", "g_edge", "sp_cam", "sp_point", "sp_obs",
+                   "sp_inv_s2", "sp_valid", "sp_edge", "c_sel", "c_valid",
+                   "cs_sel", "cs_cam", "cs_valid")
+
+
+def make_grouped_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def partition_points(e_point, e_valid, n_points, n_shards):
+    """Degree-balanced point partition: round-robin over points sorted by
+    observation count (descending) keeps per-shard edge totals within one
+    max-degree of each other. Returns list of global-point-id arrays."""
+    deg = np.bincount(np.asarray(e_point)[np.asarray(e_valid)],
+                      minlength=n_points)
+    order = np.argsort(-deg, kind="stable")
+    return [np.sort(order[s::n_shards]) for s in range(n_shards)]
+
+
+def shard_grouped_problem(prob: BAProblem, inv_sigma2_levels, n_shards: int,
+                          kp_cap: int = 32, kc_cap: int = 1024):
+    """Split a BAProblem into n_shards point-sharded GroupedGBA layouts with
+    identical static shapes. Returns (stacked GroupedGBA with a leading
+    device axis on the per-shard fields, point_map (n_shards, Pl) of global
+    point ids with -1 padding)."""
+    e_pt = np.asarray(prob.edge_point)
+    e_cam = np.asarray(prob.edge_cam)
+    e_obs = np.asarray(prob.edge_obs)
+    e_oct = np.asarray(prob.edge_octave)
+    e_val = np.asarray(prob.edge_valid)
+    pts = np.asarray(prob.points)
+    pval = np.asarray(prob.point_valid)
+    Pn = pts.shape[0]
+
+    parts = partition_points(e_pt, e_val, Pn, n_shards)
+    Pl = max(1, -(-max(len(p) for p in parts) // 128) * 128)
+
+    def build_sub(ids, force_kp=0, force_kc=0, min_sp=0, min_sc=0):
+        sel = np.isin(e_pt, ids)
+        local_of = np.full(Pn, -1, np.int64)
+        local_of[ids] = np.arange(len(ids))
+        sub_pts = np.zeros((Pl, 3), np.float32)
+        sub_pts[:len(ids)] = pts[ids]
+        sub_val = np.zeros(Pl, bool)
+        sub_val[:len(ids)] = pval[ids]
+        se = np.nonzero(sel)[0]
+        degenerate = len(se) == 0
+        if degenerate:
+            # degenerate shard (more devices than observed points): one
+            # masked-out placeholder edge keeps every shape non-empty
+            se = np.zeros(1, np.int64)
+        sub = BAProblem(
+            cam_Tcw=prob.cam_Tcw, cam_free=prob.cam_free,
+            cam_valid=prob.cam_valid,
+            points=sub_pts, point_valid=sub_val,
+            edge_cam=e_cam[se],
+            edge_point=np.maximum(local_of[e_pt[se]], 0).astype(np.int32),
+            edge_obs=e_obs[se], edge_octave=e_oct[se],
+            edge_valid=np.zeros(1, bool) if degenerate else e_val[se],
+        )
+        gp = group_global_problem(sub, inv_sigma2_levels, kp_cap=kp_cap,
+                                  kc_cap=kc_cap, force_kp=force_kp,
+                                  force_kc=force_kc, min_sp=min_sp,
+                                  min_sc=min_sc)
+        # remap g_edge/sp_edge from shard-local to GLOBAL edge ids
+        ge = np.asarray(gp.g_edge)
+        spe = np.asarray(gp.sp_edge)
+        gp = gp._replace(
+            g_edge=jnp.asarray(np.where(ge >= 0, se[np.clip(ge, 0, None)],
+                                        -1).astype(np.int32)),
+            sp_edge=jnp.asarray(np.where(spe >= 0, se[np.clip(spe, 0, None)],
+                                         -1).astype(np.int32)))
+        return gp
+
+    # pass 1: natural shapes per shard; pass 2: rebuilt at the common max
+    probe = [build_sub(ids) for ids in parts]
+    kp = max(g.g_cam.shape[0] for g in probe)
+    kc = max(g.c_sel.shape[0] for g in probe)
+    sp = max(g.sp_cam.shape[0] for g in probe)
+    sc = max(g.cs_sel.shape[0] for g in probe)
+    shards = [build_sub(ids, force_kp=kp, force_kc=kc, min_sp=sp, min_sc=sc)
+              for ids in parts]
+
+    stacked = shards[0]._replace(**{
+        f: jnp.stack([getattr(s, f) for s in shards], axis=0)
+        for f in _SHARDED_FIELDS})
+    point_map = np.full((n_shards, Pl), -1, np.int64)
+    for s, ids in enumerate(parts):
+        point_map[s, :len(ids)] = ids
+    return stacked, point_map
+
+
+def _shard_solve(gp_local: GroupedGBA, cam_params, n_iters, cg_iters,
+                 damping):
+    """Runs inside shard_map: full two-phase GN solve with camera-side
+    reductions psum'd over the mesh. Camera state stays replicated."""
+    psum_fn = lambda x: jax.lax.psum(x, AXIS)
+    th_g = jnp.where(gp_local.g_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
+    th_s = jnp.where(gp_local.sp_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
+    n_pre = max(n_iters // 2, 1)
+
+    def body_robust(_, state):
+        cam_Tcw, points = state
+        return _gba_grouped_iteration(
+            gp_local, cam_Tcw, points, gp_local.g_valid, gp_local.sp_valid,
+            cam_params, True, damping, cg_iters, psum_fn=psum_fn)
+
+    cam_Tcw, points = jax.lax.fori_loop(
+        0, n_pre, body_robust, (gp_local.cam_Tcw, gp_local.points))
+
+    (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp_local, cam_Tcw, points,
+                                             cam_params)
+    act_g = gp_local.g_valid & (chi_g <= th_g) & ~bg
+    act_s = gp_local.sp_valid & (chi_s <= th_s) & ~bs
+
+    def body_plain(_, state):
+        cam_Tcw, points = state
+        return _gba_grouped_iteration(
+            gp_local, cam_Tcw, points, act_g, act_s, cam_params, False,
+            damping, cg_iters, psum_fn=psum_fn)
+
+    cam_Tcw, points = jax.lax.fori_loop(
+        0, n_iters - n_pre, body_plain, (cam_Tcw, points))
+    return se3_renormalize(cam_Tcw), points
+
+
+def distributed_global_ba_grouped(prob: BAProblem, cam, inv_sigma2_levels,
+                                  mesh: Mesh, n_iters: int = 10,
+                                  cg_iters: int = 40, damping: float = 1e-5,
+                                  kp_cap: int = 32, kc_cap: int = 1024):
+    """API-compatible with parallel.distributed_ba.distributed_global_ba:
+    returns (cam_Tcw (C,4,4), points (P,3)) with the global point order of
+    `prob` restored."""
+    n_dev = int(mesh.devices.size)
+    gp, point_map = shard_grouped_problem(prob, inv_sigma2_levels, n_dev,
+                                          kp_cap=kp_cap, kc_cap=kc_cap)
+    cam_params = (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+
+    repl = P()
+    shard = P(AXIS)
+    specs = GroupedGBA(**{
+        f: (shard if f in _SHARDED_FIELDS else repl)
+        for f in GroupedGBA._fields})
+
+    if jax.process_count() > 1:
+        from .multihost import make_global_array
+        gp = GroupedGBA(**{
+            f: make_global_array(getattr(gp, f), mesh, getattr(specs, f))
+            for f in GroupedGBA._fields})
+    else:
+        gp = GroupedGBA(**{
+            f: jax.device_put(getattr(gp, f),
+                              NamedSharding(mesh, getattr(specs, f)))
+            for f in GroupedGBA._fields})
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=(specs,),
+                       out_specs=(repl, shard), check_vma=False)
+    def solve(gp_stacked):
+        gp_local = GroupedGBA(**{
+            f: (getattr(gp_stacked, f)[0] if f in _SHARDED_FIELDS
+                else getattr(gp_stacked, f))
+            for f in GroupedGBA._fields})
+        cam_Tcw, points = _shard_solve(gp_local, cam_params, n_iters,
+                                       cg_iters, damping)
+        return cam_Tcw, points[None]
+
+    cam_Tcw, pts_sharded = solve(gp)
+
+    pts_sharded = np.asarray(pts_sharded)          # (n_dev, Pl, 3)
+    out_pts = np.asarray(prob.points).copy()
+    sel = point_map >= 0
+    out_pts[point_map[sel]] = pts_sharded[sel]
+    return cam_Tcw, jnp.asarray(out_pts)

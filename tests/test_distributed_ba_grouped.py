@@ -1,0 +1,92 @@
+"""Point-sharded grouped distributed BA must agree with the single-device
+solvers (flat PCG and single-device grouped) on the 8-virtual-device mesh.
+
+The camera-side reductions cross shards via one psum per CG matvec; the
+point-side stays shard-local. Agreement to float tolerance proves the
+collective decomposition is exact (same problem, different reduction order).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orb_slam2_detailed_comments_tpu.optim.global_ba import global_bundle_adjustment
+from orb_slam2_detailed_comments_tpu.optim.global_ba_grouped import (
+    group_global_problem, _solve_grouped)
+from orb_slam2_detailed_comments_tpu.parallel.distributed_ba_grouped import (
+    distributed_global_ba_grouped, make_grouped_mesh, shard_grouped_problem,
+    partition_points)
+
+from test_global_ba_grouped import build_problem, CAM, INV_S2
+
+
+class TestSharding:
+    def test_partition_is_disjoint_and_complete(self):
+        prob = build_problem()
+        e_pt = np.asarray(prob.edge_point)
+        e_val = np.asarray(prob.edge_valid)
+        parts = partition_points(e_pt, e_val, 400, 8)
+        allp = np.concatenate(parts)
+        assert len(allp) == 400
+        assert len(set(allp.tolist())) == 400
+
+    def test_shards_cover_every_valid_edge_exactly_once(self):
+        prob = build_problem()
+        gps, pmap = shard_grouped_problem(prob, INV_S2, 8)
+        ge = np.asarray(gps.g_edge).reshape(-1)
+        se = np.asarray(gps.sp_edge).reshape(-1)
+        covered = np.concatenate([ge[ge >= 0], se[se >= 0]])
+        expected = np.nonzero(np.asarray(prob.edge_valid))[0]
+        assert sorted(covered.tolist()) == sorted(expected.tolist())
+        assert len(set(covered.tolist())) == len(covered)
+
+    def test_more_shards_than_observed_points(self):
+        # degenerate-shard guard: 8 devices, 5 observed points
+        prob = build_problem(C=4, P=5, n_invalid=0)
+        gps, pmap = shard_grouped_problem(prob, INV_S2, 8)
+        ge = np.asarray(gps.g_edge).reshape(-1)
+        se = np.asarray(gps.sp_edge).reshape(-1)
+        covered = np.concatenate([ge[ge >= 0], se[se >= 0]])
+        expected = np.nonzero(np.asarray(prob.edge_valid))[0]
+        assert sorted(covered.tolist()) == sorted(expected.tolist())
+
+
+class TestAgreement:
+    def test_matches_single_device_grouped(self):
+        prob = build_problem(C=24, P=600)
+        gp = group_global_problem(prob, INV_S2)
+        cams_g, pts_g, _, _ = _solve_grouped(gp, CAM, 4, 25, 1e-5)
+        mesh = make_grouped_mesh()
+        cams_d, pts_d = distributed_global_ba_grouped(
+            prob, CAM, INV_S2, mesh, n_iters=4, cg_iters=25)
+        np.testing.assert_allclose(np.asarray(cams_d), np.asarray(cams_g),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(pts_d), np.asarray(pts_g),
+                                   atol=5e-3)
+
+    def test_matches_flat_solver(self):
+        prob = build_problem(C=24, P=600)
+        cams_f, pts_f, _ = global_bundle_adjustment(
+            prob, CAM, INV_S2, n_iters=6, cg_iters=25)
+        mesh = make_grouped_mesh()
+        cams_d, pts_d = distributed_global_ba_grouped(
+            prob, CAM, INV_S2, mesh, n_iters=6, cg_iters=25)
+        np.testing.assert_allclose(np.asarray(cams_d), np.asarray(cams_f),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(pts_d), np.asarray(pts_f),
+                                   atol=1e-2)
+
+    def test_reduces_reprojection_error(self):
+        prob = build_problem(seed=5)
+        from orb_slam2_detailed_comments_tpu.optim.local_ba import edge_chi2
+        cam_params = (CAM.fx, CAM.fy, CAM.cx, CAM.cy, CAM.bf)
+        chi_before, _ = edge_chi2(prob.cam_Tcw, prob.points, prob,
+                                  cam_params, INV_S2)
+        mesh = make_grouped_mesh()
+        cams_d, pts_d = distributed_global_ba_grouped(
+            prob, CAM, INV_S2, mesh, n_iters=8, cg_iters=25)
+        chi_after, _ = edge_chi2(jnp.asarray(cams_d), jnp.asarray(pts_d),
+                                 prob, cam_params, INV_S2)
+        m = np.asarray(prob.edge_valid)
+        assert float(np.median(np.asarray(chi_after)[m])) < \
+            0.5 * float(np.median(np.asarray(chi_before)[m]))
