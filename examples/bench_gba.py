@@ -62,10 +62,16 @@ def main():
           f"Kp={gp.g_cam.shape[0]} Sp={gp.sp_cam.shape[0]} "
           f"Kc={gp.c_sel.shape[0]} Sc={gp.cs_sel.shape[0]}", file=sys.stderr)
 
-    timed("grouped", lambda: _solve_grouped(gp, cam, args.iters, args.cg, 1e-5))
+    timed("grouped-gemm-k1", lambda: _solve_grouped(
+        gp, cam, args.iters, args.cg, 1e-5, "gemm", 1))
+    timed("grouped-gemm-k2", lambda: _solve_grouped(
+        gp, cam, args.iters, args.cg, 1e-5, "gemm", 2))
     if not args.skip_flat:
         timed("flat", lambda: global_bundle_adjustment(
             prob, cam, inv_s2, n_iters=args.iters, cg_iters=args.cg))
+    if os.environ.get("BENCH_GATHER"):
+        timed("grouped-gather", lambda: _solve_grouped(
+            gp, cam, args.iters, args.cg, 1e-5, "gather", 1))
 
 
 if __name__ == "__main__":

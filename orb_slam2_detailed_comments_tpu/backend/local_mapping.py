@@ -493,17 +493,22 @@ class LocalMapper:
         )
         # shard over the device mesh when more than one device is attached
         # (beyond-reference: the reference's GBA is single-threaded g2o).
-        # NOTE: the grouped scatter-free GBA (optim/global_ba_grouped.py)
-        # measured 3.3x SLOWER than this flat PCG on a real v5e at the
-        # KITTI-00-10-batch scale (1742 vs 527 ms/GN iter, 1408 cams /
-        # 360k edges) — its permutation gathers cost more than the flat
-        # path's scatter-adds — so flat stays the production path.
+        # Large problems take the grouped one-hot-GEMM solver (3.7x the
+        # flat PCG on v5e at 1408 cams / 360k edges: 146 vs 536 ms/GN
+        # iter, examples/bench_gba.py); small maps keep the flat PCG,
+        # whose jit cache is warm and whose host prep is zero.
         import jax as _jax
         if len(_jax.devices()) > 1 and E >= 4096:
-            from ..parallel.distributed_ba import distributed_global_ba, make_ba_mesh
-            new_cams, new_pts = distributed_global_ba(
+            from ..parallel.distributed_ba_grouped import (
+                distributed_global_ba_grouped, make_grouped_mesh)
+            new_cams, new_pts = distributed_global_ba_grouped(
                 prob, self.config.camera, jnp.asarray(self.inv_sigma2),
-                make_ba_mesh(), n_iters=n_iters)
+                make_grouped_mesh(), n_iters=n_iters)
+        elif E >= 4096:
+            from ..optim.global_ba_grouped import global_bundle_adjustment_grouped
+            new_cams, new_pts, _ = global_bundle_adjustment_grouped(
+                prob, self.config.camera, jnp.asarray(self.inv_sigma2),
+                n_iters=n_iters)
         else:
             new_cams, new_pts, _ = global_bundle_adjustment(
                 prob, self.config.camera, jnp.asarray(self.inv_sigma2),

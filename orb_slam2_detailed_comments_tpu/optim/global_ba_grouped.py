@@ -25,16 +25,31 @@ All per-edge quantities live as lists of 2D (Kp, P) columns (local_ba's
 column style) so XLA never materializes arrays with two small trailing
 dims (tiled to (8,128) with 14-40x padding waste).
 
-MEASURED (v5e, 1408 cams / 60k pts / 360k edges, 2 GN x 30 CG,
-examples/bench_gba.py): 1742 ms/GN iter vs the flat solver's 527 ms —
-the camera-major permutation `take` and the (Kp, P) x[g_cam] expands
-cost more on TPU than the flat path's duplicate-index scatter-adds
-(XLA lowers those well at this scale, unlike the local-BA shapes where
-k-major won 11x). The flat optim/global_ba.py therefore remains the
-production path; this module is kept as the numerically-verified
-grouped formulation and as the basis of the one-psum-per-matvec
-distributed variant (parallel/distributed_ba_grouped.py). See
-examples/bench_gba_ops.py for the op-level comparison.
+Two interchangeable camera-side backends (point-side is always free
+sublane sums in this layout):
+
+  * backend="gather" — the original formulation: camera-major
+    permutation `take` for reductions, (C,)-table gathers for expands.
+    MEASURED SLOW on TPU: 1742 ms/GN iter at 1408 cams / 360k edges vs
+    the flat solver's 527 ms (examples/bench_gba.py) — random-access
+    gathers don't ride any wide unit.
+  * backend="gemm" — every camera expand/reduce is a matmul against a
+    bfloat16 one-hot matrix (C, S) built once per solve: selection by
+    one-hot is EXACT (entries are 1.0/0.0), and f32 values are split
+    into k bfloat16 limbs (hi + residual(s)) multiplied separately and
+    accumulated in f32 (k=3 recovers full f32 for pose expansion; k=2
+    gives ~1e-5 relative for Hessian assembly; the CG matvec k is a
+    precision/speed knob). Micro-benchmarked on v5e (C=1408, E=480k,
+    examples/bench_gba_ops.py): one-hot GEMM ~3.0 ms (= dispatch
+    floor) vs `take` 5.5 ms (+297 s compile!), scatter 6.3 ms, table
+    gather 21.7 ms — the MXU eats the one-hot for free.
+
+End-to-end on v5e (1408 cams / 60k pts / 360k edges, 30 CG iters,
+examples/bench_gba.py), ms per GN iteration: gather 1742, flat
+edge-list PCG (optim/global_ba.py) 536, gemm k_mv=2 206, gemm k_mv=1
+146 — the gemm backend is the production path for large problems
+(wired in backend/local_mapping.py at E>=4096); agreement tests pass
+at the same tolerances for every backend.
 """
 from __future__ import annotations
 
@@ -202,16 +217,68 @@ def group_global_problem(prob: BAProblem, inv_sigma2_levels,
     )
 
 
-def _edge_state(gp: GroupedGBA, cam_Tcw, points, cam_params):
-    """Residual/Jacobian columns for the grid and the point-spill list."""
+def _build_onehot(gp: GroupedGBA, C: int):
+    """(C, S) bfloat16 one-hot over the storage order [grid flat; spill].
+    Exact: entries are 1.0/0.0, both representable in bfloat16. Built once
+    per solve inside the jit; all camera expands/reductions become matmuls
+    against it (the MXU path; see module docstring for measurements)."""
+    ids = jnp.concatenate([gp.g_cam.reshape(-1), gp.sp_cam])
+    return (jnp.arange(C, dtype=jnp.int32)[:, None] == ids[None, :]
+            ).astype(jnp.bfloat16)
+
+
+def _split_bf16(m, k: int):
+    """f32 -> k bfloat16 limbs with m ~= sum(limbs). k=1: plain rounding
+    (~8 mantissa bits); k=2: ~16 bits; k=3: full f32 (24 bits)."""
+    parts = []
+    res = m
+    for i in range(k):
+        p = res.astype(jnp.bfloat16)
+        parts.append(p)
+        if i + 1 < k:
+            res = res - p.astype(jnp.float32)
+    return parts
+
+
+def _oh_reduce(oh, store, k: int):
+    """Per-camera sum of per-edge values: (n, S) f32 -> (n, C) f32 via
+    k split-limb GEMMs against the one-hot, f32 accumulation."""
+    out = None
+    for part in _split_bf16(store, k):
+        o = jax.lax.dot_general(part, oh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out = o if out is None else out + o
+    return out
+
+
+def _oh_expand(oh, x, k: int):
+    """Per-edge selection of per-camera values: (n, C) f32 -> (n, S)."""
+    out = None
+    for part in _split_bf16(x, k):
+        o = jax.lax.dot_general(part, oh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out = o if out is None else out + o
+    return out
+
+
+def _edge_state(gp: GroupedGBA, cam_Tcw, points, cam_params, oh=None):
+    """Residual/Jacobian columns for the grid and the point-spill list.
+    With oh, camera poses are expanded to edges by exact one-hot GEMM
+    (k=3 limbs = full f32); without, by table gathers."""
     camflat = cam_Tcw.reshape(-1, 16)
-    Tg = [camflat[:, i][gp.g_cam] for i in range(16)]      # 16 x (Kp, P)
+    KpP = gp.g_cam.size
+    if oh is not None:
+        Tall = _oh_expand(oh, camflat.T, 3)                # (16, S)
+        Tg = [Tall[i, :KpP].reshape(gp.g_cam.shape) for i in range(16)]
+        Ts = [Tall[i, KpP:] for i in range(16)]
+    else:
+        Tg = [camflat[:, i][gp.g_cam] for i in range(16)]  # 16 x (Kp, P)
+        Ts = [camflat[:, i][gp.sp_cam] for i in range(16)]
     Xg = [jnp.broadcast_to(points[:, j][None, :], gp.g_cam.shape)
           for j in range(3)]
     og = [gp.g_obs[j] for j in range(3)]
     rg, Jcg, Jpg, behind_g = _edge_cols(Tg, Xg, og, cam_params)
 
-    Ts = [camflat[:, i][gp.sp_cam] for i in range(16)]
     Xs = [points[:, j][gp.sp_point] for j in range(3)]
     os_ = [gp.sp_obs[j] for j in range(3)]
     rs, Jcs, Jps, behind_s = _edge_cols(Ts, Xs, os_, cam_params)
@@ -224,23 +291,30 @@ def _weights(r, inv_s2, stereo_w, active, behind, use_kernel, delta):
     return jnp.where(active & ~behind, w * inv_s2, 0.0), chi2
 
 
-def _cam_reduce(gp: GroupedGBA, cols_g, cols_s, psum_fn=None):
-    """Reduce per-edge columns per camera: one take + Kc-sum + tiny scatter.
+def _cam_reduce(gp: GroupedGBA, cols_g, cols_s, psum_fn=None, oh=None,
+                k: int = 2):
+    """Reduce per-edge columns per camera. With oh: k-limb one-hot GEMM
+    (S is covered exactly once by the one-hot, no spill handling needed).
+    Without: one take + Kc-sum + tiny scatter over the camera-major
+    permutation.
 
     cols_g: list of (Kp, P) grid columns; cols_s: matching (Sp,) spill
     columns. Returns list of (C,) columns. psum_fn (if given) sums the
     partial per-camera totals across a point-sharded device mesh."""
     n = len(cols_g)
-    Kc, C = gp.c_sel.shape
     store = jnp.concatenate(
         [jnp.stack([c.reshape(-1) for c in cols_g], 0),
          jnp.stack(cols_s, 0)], axis=1)                    # (n, Kp*P + Sp)
-    picked = jnp.take(store, gp.c_sel.reshape(-1), axis=1)
-    picked = picked.reshape(n, Kc, C) * gp.c_valid[None]
-    out = jnp.sum(picked, axis=1)                          # (n, C)
-    # camera spill (rare): scatter-add of a tiny list
-    spill = jnp.take(store, gp.cs_sel, axis=1) * gp.cs_valid[None]
-    out = out.T.at[gp.cs_cam].add(spill.T).T
+    if oh is not None:
+        out = _oh_reduce(oh, store, k)
+    else:
+        Kc, C = gp.c_sel.shape
+        picked = jnp.take(store, gp.c_sel.reshape(-1), axis=1)
+        picked = picked.reshape(n, Kc, C) * gp.c_valid[None]
+        out = jnp.sum(picked, axis=1)                      # (n, C)
+        # camera spill (rare): scatter-add of a tiny list
+        spill = jnp.take(store, gp.cs_sel, axis=1) * gp.cs_valid[None]
+        out = out.T.at[gp.cs_cam].add(spill.T).T
     if psum_fn is not None:
         out = psum_fn(out)
     return [out[i] for i in range(n)]
@@ -248,14 +322,27 @@ def _cam_reduce(gp: GroupedGBA, cols_g, cols_s, psum_fn=None):
 
 def _gba_grouped_iteration(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
                            cam_params, use_kernel, damping, cg_iters,
-                           psum_fn=None):
+                           psum_fn=None, oh=None, k_mv: int = 1):
     """One GN step. With psum_fn (inside shard_map over a point-sharded
     mesh) every per-camera reduction is summed across devices, making the
     camera-side quantities replicated; point-side quantities stay local to
-    the shard that owns the points."""
+    the shard that owns the points. With oh, camera expands/reductions ride
+    the MXU as one-hot GEMMs (k_mv = CG-matvec limb count: 1 is fastest,
+    2 matches f32 to ~1e-5; assembly always uses 2, pose expansion 3)."""
     C = cam_Tcw.shape[0]
+    KpP = gp.g_cam.size
+
+    def expand6(xm, k=None):
+        """6 x (C,) -> ((6 x (Kp,P) grid), (6 x (Sp,) spill))."""
+        if oh is not None:
+            xall = _oh_expand(oh, jnp.stack(xm, 0), k or k_mv)  # (6, S)
+            return ([xall[i, :KpP].reshape(gp.g_cam.shape) for i in range(6)],
+                    [xall[i, KpP:] for i in range(6)])
+        return ([xm[i][gp.g_cam] for i in range(6)],
+                [xm[i][gp.sp_cam] for i in range(6)])
+
     (rg, Jcg, Jpg, bg), (rs, Jcs, Jps, bs) = _edge_state(
-        gp, cam_Tcw, points, cam_params)
+        gp, cam_Tcw, points, cam_params, oh=oh)
     stw_g = (gp.g_obs[2] >= 0.0).astype(jnp.float32)
     stw_s = (gp.sp_obs[2] >= 0.0).astype(jnp.float32)
     del_g = jnp.where(stw_g > 0, DELTA_STEREO, DELTA_MONO)
@@ -295,7 +382,7 @@ def _gba_grouped_iteration(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
          for i in range(6) for j in range(i, 6)]
         + [sum(wrow_s[rr] * Jcs[rr][i] * rs[rr] for rr in range(3))
            for i in range(6)],
-        psum_fn=psum_fn)
+        psum_fn=psum_fn, oh=oh, k=2)
     ut = [[None] * 6 for _ in range(6)]
     n = 0
     for i in range(6):
@@ -328,9 +415,7 @@ def _gba_grouped_iteration(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
         """S x = Hcc_d x - A Hpp^-1 A^T x; x as 6 columns (C,)."""
         xm = [xcols[i] * freef for i in range(6)]
         u = [sum(Hcc_d[i][j] * xm[j] for j in range(6)) for i in range(6)]
-        # expand x to edges (gathers from 6 small (C,) tables)
-        xe = [xm[i][gp.g_cam] for i in range(6)]            # (Kp, P)
-        xs = [xm[i][gp.sp_cam] for i in range(6)]           # (Sp,)
+        xe, xs = expand6(xm)
         # v = A^T x per point
         v = pt_reduce(
             [sum(Yg[i][y] * xe[i] for i in range(6)) for y in range(3)],
@@ -344,7 +429,7 @@ def _gba_grouped_iteration(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
              for i in range(6)],
             [sum(Ys[i][y] * wv[y][gp.sp_point] for y in range(3))
              for i in range(6)],
-            psum_fn=psum_fn)
+            psum_fn=psum_fn, oh=oh, k=k_mv)
         return [(u[i] - du[i]) * freef for i in range(6)]
 
     # rhs = -(g_c - A Hpp^-1 g_p)
@@ -355,7 +440,7 @@ def _gba_grouped_iteration(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
         [sum(Yg[i][y] * hg[y][None, :] for y in range(3)) for i in range(6)],
         [sum(Ys[i][y] * hg[y][gp.sp_point] for y in range(3))
          for i in range(6)],
-        psum_fn=psum_fn)
+        psum_fn=psum_fn, oh=oh, k=2)
     rhs = [-(g_c[i] - corr[i]) * freef for i in range(6)]
 
     # block-Jacobi preconditioner (6x6 per camera; identity where fixed)
@@ -390,8 +475,7 @@ def _gba_grouped_iteration(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
     dc = [st[0][i] * freef for i in range(6)]
 
     # back-substitute points: dp = -Hpp^-1 (g_p + A^T dc)
-    dce = [dc[i][gp.g_cam] for i in range(6)]
-    dcs = [dc[i][gp.sp_cam] for i in range(6)]
+    dce, dcs = expand6(dc, k=3)    # point update wants full-precision dc
     atdc = pt_reduce(
         [sum(Yg[i][y] * dce[i] for i in range(6)) for y in range(3)],
         [sum(Ys[i][y] * dcs[i] for i in range(6)) for y in range(3)])
@@ -406,8 +490,9 @@ def _gba_grouped_iteration(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
     return cam_new, points_new
 
 
-def _grouped_chi2(gp: GroupedGBA, cam_Tcw, points, cam_params):
-    (rg, _, _, bg), (rs, _, _, bs) = _edge_state(gp, cam_Tcw, points, cam_params)
+def _grouped_chi2(gp: GroupedGBA, cam_Tcw, points, cam_params, oh=None):
+    (rg, _, _, bg), (rs, _, _, bs) = _edge_state(gp, cam_Tcw, points,
+                                                 cam_params, oh=oh)
     stw_g = (gp.g_obs[2] >= 0.0).astype(jnp.float32)
     stw_s = (gp.sp_obs[2] >= 0.0).astype(jnp.float32)
     chi_g = _chi2_cols(rg, stw_g, gp.g_inv_s2)
@@ -415,10 +500,13 @@ def _grouped_chi2(gp: GroupedGBA, cam_Tcw, points, cam_params):
     return (chi_g, bg), (chi_s, bs)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "n_iters", "cg_iters"))
+@functools.partial(jax.jit, static_argnames=("cam", "n_iters", "cg_iters",
+                                              "backend", "k_mv"))
 def _solve_grouped(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
-                   damping: float):
+                   damping: float, backend: str = "gemm", k_mv: int = 1):
     cam_params = (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+    C = gp.cam_Tcw.shape[0]
+    oh = _build_onehot(gp, C) if backend == "gemm" else None
     th_g = jnp.where(gp.g_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
     th_s = jnp.where(gp.sp_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
     n_pre = max(n_iters // 2, 1)
@@ -427,25 +515,28 @@ def _solve_grouped(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
         cam_Tcw, points = state
         return _gba_grouped_iteration(gp, cam_Tcw, points, gp.g_valid,
                                       gp.sp_valid, cam_params, True,
-                                      damping, cg_iters)
+                                      damping, cg_iters, oh=oh, k_mv=k_mv)
 
     cam_Tcw, points = jax.lax.fori_loop(
         0, n_pre, body_robust, (gp.cam_Tcw, gp.points))
 
-    (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp, cam_Tcw, points, cam_params)
+    (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp, cam_Tcw, points, cam_params,
+                                             oh=oh)
     act_g = gp.g_valid & (chi_g <= th_g) & ~bg
     act_s = gp.sp_valid & (chi_s <= th_s) & ~bs
 
     def body_plain(_, state):
         cam_Tcw, points = state
         return _gba_grouped_iteration(gp, cam_Tcw, points, act_g, act_s,
-                                      cam_params, False, damping, cg_iters)
+                                      cam_params, False, damping, cg_iters,
+                                      oh=oh, k_mv=k_mv)
 
     cam_Tcw, points = jax.lax.fori_loop(
         0, n_iters - n_pre, body_plain, (cam_Tcw, points))
     cam_Tcw = se3_renormalize(cam_Tcw)
 
-    (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp, cam_Tcw, points, cam_params)
+    (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp, cam_Tcw, points, cam_params,
+                                             oh=oh)
     in_g = gp.g_valid & (chi_g <= th_g) & ~bg
     in_s = gp.sp_valid & (chi_s <= th_s) & ~bs
     return cam_Tcw, points, in_g, in_s
@@ -453,12 +544,13 @@ def _solve_grouped(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
 
 def global_bundle_adjustment_grouped(prob: BAProblem, cam, inv_sigma2_levels,
                                      n_iters: int = 10, cg_iters: int = 50,
-                                     damping: float = 1e-5):
+                                     damping: float = 1e-5,
+                                     backend: str = "gemm", k_mv: int = 1):
     """API-compatible with optim.global_ba.global_bundle_adjustment:
     returns (cam_Tcw, points, edge_inlier (E,) bool)."""
     gp = group_global_problem(prob, inv_sigma2_levels)
     cam_Tcw, points, in_g, in_s = _solve_grouped(
-        gp, cam, n_iters, cg_iters, damping)
+        gp, cam, n_iters, cg_iters, damping, backend, k_mv)
     E = prob.edge_cam.shape[0]
     inlier = np.zeros(E, bool)
     ge = np.asarray(gp.g_edge).reshape(-1)

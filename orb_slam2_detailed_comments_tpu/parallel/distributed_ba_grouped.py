@@ -135,10 +135,15 @@ def shard_grouped_problem(prob: BAProblem, inv_sigma2_levels, n_shards: int,
 
 
 def _shard_solve(gp_local: GroupedGBA, cam_params, n_iters, cg_iters,
-                 damping):
+                 damping, backend="gemm", k_mv=1):
     """Runs inside shard_map: full two-phase GN solve with camera-side
-    reductions psum'd over the mesh. Camera state stays replicated."""
+    reductions psum'd over the mesh. Camera state stays replicated. The
+    per-shard one-hot (C, S_local) makes every camera expand/reduce a
+    local MXU GEMM followed by the single psum."""
+    from ..optim.global_ba_grouped import _build_onehot
     psum_fn = lambda x: jax.lax.psum(x, AXIS)
+    C = gp_local.cam_Tcw.shape[0]
+    oh = _build_onehot(gp_local, C) if backend == "gemm" else None
     th_g = jnp.where(gp_local.g_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
     th_s = jnp.where(gp_local.sp_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
     n_pre = max(n_iters // 2, 1)
@@ -147,13 +152,14 @@ def _shard_solve(gp_local: GroupedGBA, cam_params, n_iters, cg_iters,
         cam_Tcw, points = state
         return _gba_grouped_iteration(
             gp_local, cam_Tcw, points, gp_local.g_valid, gp_local.sp_valid,
-            cam_params, True, damping, cg_iters, psum_fn=psum_fn)
+            cam_params, True, damping, cg_iters, psum_fn=psum_fn, oh=oh,
+            k_mv=k_mv)
 
     cam_Tcw, points = jax.lax.fori_loop(
         0, n_pre, body_robust, (gp_local.cam_Tcw, gp_local.points))
 
     (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp_local, cam_Tcw, points,
-                                             cam_params)
+                                             cam_params, oh=oh)
     act_g = gp_local.g_valid & (chi_g <= th_g) & ~bg
     act_s = gp_local.sp_valid & (chi_s <= th_s) & ~bs
 
@@ -161,7 +167,7 @@ def _shard_solve(gp_local: GroupedGBA, cam_params, n_iters, cg_iters,
         cam_Tcw, points = state
         return _gba_grouped_iteration(
             gp_local, cam_Tcw, points, act_g, act_s, cam_params, False,
-            damping, cg_iters, psum_fn=psum_fn)
+            damping, cg_iters, psum_fn=psum_fn, oh=oh, k_mv=k_mv)
 
     cam_Tcw, points = jax.lax.fori_loop(
         0, n_iters - n_pre, body_plain, (cam_Tcw, points))
@@ -171,7 +177,8 @@ def _shard_solve(gp_local: GroupedGBA, cam_params, n_iters, cg_iters,
 def distributed_global_ba_grouped(prob: BAProblem, cam, inv_sigma2_levels,
                                   mesh: Mesh, n_iters: int = 10,
                                   cg_iters: int = 40, damping: float = 1e-5,
-                                  kp_cap: int = 32, kc_cap: int = 1024):
+                                  kp_cap: int = 32, kc_cap: int = 1024,
+                                  backend: str = "gemm", k_mv: int = 1):
     """API-compatible with parallel.distributed_ba.distributed_global_ba:
     returns (cam_Tcw (C,4,4), points (P,3)) with the global point order of
     `prob` restored."""
@@ -206,7 +213,8 @@ def distributed_global_ba_grouped(prob: BAProblem, cam, inv_sigma2_levels,
                 else getattr(gp_stacked, f))
             for f in GroupedGBA._fields})
         cam_Tcw, points = _shard_solve(gp_local, cam_params, n_iters,
-                                       cg_iters, damping)
+                                       cg_iters, damping, backend=backend,
+                                       k_mv=k_mv)
         return cam_Tcw, points[None]
 
     cam_Tcw, pts_sharded = solve(gp)

@@ -85,15 +85,16 @@ class TestGrouping:
 
 
 class TestAgreementWithFlat:
-    @pytest.mark.parametrize("kp_cap", [8, 64])
-    def test_matches_flat_solver(self, kp_cap):
+    @pytest.mark.parametrize("kp_cap,backend", [(8, "gemm"), (64, "gemm"),
+                                                (8, "gather")])
+    def test_matches_flat_solver(self, kp_cap, backend):
         prob = build_problem()
         cams_f, pts_f, inl_f = global_bundle_adjustment(
             prob, CAM, INV_S2, n_iters=6, cg_iters=25)
 
         gp = group_global_problem(prob, INV_S2, kp_cap=kp_cap)
         from orb_slam2_detailed_comments_tpu.optim.global_ba_grouped import _solve_grouped
-        cams_g, pts_g, _, _ = _solve_grouped(gp, CAM, 6, 25, 1e-5)
+        cams_g, pts_g, _, _ = _solve_grouped(gp, CAM, 6, 25, 1e-5, backend)
 
         np.testing.assert_allclose(np.asarray(cams_g), np.asarray(cams_f),
                                    atol=2e-4)
