@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--cg", type=int, default=30)
     ap.add_argument("--skip-flat", action="store_true")
+    ap.add_argument("--skip-dense", action="store_true")
     args = ap.parse_args()
 
     if os.environ.get("ORB_FORCE_CPU"):
@@ -64,14 +65,18 @@ def main():
 
     timed("grouped-gemm-k1", lambda: _solve_grouped(
         gp, cam, args.iters, args.cg, 1e-5, "gemm", 1))
-    timed("grouped-gemm-k2", lambda: _solve_grouped(
-        gp, cam, args.iters, args.cg, 1e-5, "gemm", 2))
+    if not args.skip_dense:
+        timed("grouped-dense", lambda: _solve_grouped(
+            gp, cam, args.iters, args.cg, 1e-5, "dense", 1))
     if not args.skip_flat:
         timed("flat", lambda: global_bundle_adjustment(
             prob, cam, inv_s2, n_iters=args.iters, cg_iters=args.cg))
     if os.environ.get("BENCH_GATHER"):
         timed("grouped-gather", lambda: _solve_grouped(
             gp, cam, args.iters, args.cg, 1e-5, "gather", 1))
+    if os.environ.get("BENCH_K2"):
+        timed("grouped-gemm-k2", lambda: _solve_grouped(
+            gp, cam, args.iters, args.cg, 1e-5, "gemm", 2))
 
 
 if __name__ == "__main__":

@@ -320,27 +320,21 @@ def _cam_reduce(gp: GroupedGBA, cols_g, cols_s, psum_fn=None, oh=None,
     return [out[i] for i in range(n)]
 
 
-def _gba_grouped_iteration(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
-                           cam_params, use_kernel, damping, cg_iters,
-                           psum_fn=None, oh=None, k_mv: int = 1):
-    """One GN step. With psum_fn (inside shard_map over a point-sharded
-    mesh) every per-camera reduction is summed across devices, making the
-    camera-side quantities replicated; point-side quantities stay local to
-    the shard that owns the points. With oh, camera expands/reductions ride
-    the MXU as one-hot GEMMs (k_mv = CG-matvec limb count: 1 is fastest,
-    2 matches f32 to ~1e-5; assembly always uses 2, pose expansion 3)."""
-    C = cam_Tcw.shape[0]
-    KpP = gp.g_cam.size
+def _pt_reduce(gp: GroupedGBA, cols_g, cols_s):
+    """Per-point reduction: Kp-sublane sum + tiny spill scatter."""
+    out = [jnp.sum(c, axis=0) for c in cols_g]              # (P,)
+    stacked = jnp.stack(out, 0)                             # (n, P)
+    sp = jnp.stack(cols_s, 0)                               # (n, Sp)
+    stacked = stacked.T.at[gp.sp_point].add(sp.T).T
+    return [stacked[i] for i in range(len(out))]
 
-    def expand6(xm, k=None):
-        """6 x (C,) -> ((6 x (Kp,P) grid), (6 x (Sp,) spill))."""
-        if oh is not None:
-            xall = _oh_expand(oh, jnp.stack(xm, 0), k or k_mv)  # (6, S)
-            return ([xall[i, :KpP].reshape(gp.g_cam.shape) for i in range(6)],
-                    [xall[i, KpP:] for i in range(6)])
-        return ([xm[i][gp.g_cam] for i in range(6)],
-                [xm[i][gp.sp_cam] for i in range(6)])
 
+def _assemble_grouped(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
+                      cam_params, use_kernel, damping, psum_fn=None,
+                      oh=None):
+    """Shared per-iteration linearization: residual/Jacobian columns,
+    Huber IRLS weights, damped camera/point Hessian blocks, gradients,
+    coupling columns. Used by both the CG and the dense direct solve."""
     (rg, Jcg, Jpg, bg), (rs, Jcs, Jps, bs) = _edge_state(
         gp, cam_Tcw, points, cam_params, oh=oh)
     stw_g = (gp.g_obs[2] >= 0.0).astype(jnp.float32)
@@ -352,20 +346,14 @@ def _gba_grouped_iteration(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
     wrow_g = [wg, wg, wg * stw_g]
     wrow_s = [ws, ws, ws * stw_s]
 
-    # ---- point blocks: Kp-sum + spill scatter ----
-    def pt_reduce(cols_g, cols_s):
-        out = [jnp.sum(c, axis=0) for c in cols_g]          # (P,)
-        stacked = jnp.stack(out, 0)                         # (n, P)
-        sp = jnp.stack(cols_s, 0)                           # (n, Sp)
-        stacked = stacked.T.at[gp.sp_point].add(sp.T).T
-        return [stacked[i] for i in range(len(out))]
-
-    Hpp = pt_reduce(
+    Hpp = _pt_reduce(
+        gp,
         [sum(wrow_g[rr] * Jpg[rr][y] * Jpg[rr][z] for rr in range(3))
          for y in range(3) for z in range(3)],
         [sum(wrow_s[rr] * Jps[rr][y] * Jps[rr][z] for rr in range(3))
          for y in range(3) for z in range(3)])
-    g_p = pt_reduce(
+    g_p = _pt_reduce(
+        gp,
         [sum(wrow_g[rr] * Jpg[rr][y] * rg[rr] for rr in range(3))
          for y in range(3)],
         [sum(wrow_s[rr] * Jps[rr][y] * rs[rr] for rr in range(3))
@@ -407,9 +395,37 @@ def _gba_grouped_iteration(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
            for y in range(3)] for i in range(6)]            # 6x3 of (Kp,P)
     Ys = [[sum(wrow_s[rr] * Jcs[rr][i] * Jps[rr][y] for rr in range(3))
            for y in range(3)] for i in range(6)]
+    return Hcc_d, g_c, Hinv, g_p, Yg, Ys
 
-    free = gp.cam_free
-    freef = free.astype(jnp.float32)
+
+def _gba_grouped_iteration(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
+                           cam_params, use_kernel, damping, cg_iters,
+                           psum_fn=None, oh=None, k_mv: int = 1):
+    """One GN step (PCG inner solve on the implicit Schur system). With
+    psum_fn (inside shard_map over a point-sharded mesh) every per-camera
+    reduction is summed across devices, making the camera-side quantities
+    replicated; point-side quantities stay local to the shard that owns
+    the points. With oh, camera expands/reductions ride the MXU as one-hot
+    GEMMs (k_mv = CG-matvec limb count: 1 is fastest, 2 matches f32 to
+    ~1e-5; assembly always uses 2, pose expansion 3)."""
+    KpP = gp.g_cam.size
+
+    def expand6(xm, k=None):
+        """6 x (C,) -> ((6 x (Kp,P) grid), (6 x (Sp,) spill))."""
+        if oh is not None:
+            xall = _oh_expand(oh, jnp.stack(xm, 0), k or k_mv)  # (6, S)
+            return ([xall[i, :KpP].reshape(gp.g_cam.shape) for i in range(6)],
+                    [xall[i, KpP:] for i in range(6)])
+        return ([xm[i][gp.g_cam] for i in range(6)],
+                [xm[i][gp.sp_cam] for i in range(6)])
+
+    def pt_reduce(cols_g, cols_s):
+        return _pt_reduce(gp, cols_g, cols_s)
+
+    Hcc_d, g_c, Hinv, g_p, Yg, Ys = _assemble_grouped(
+        gp, cam_Tcw, points, act_g, act_s, cam_params, use_kernel, damping,
+        psum_fn=psum_fn, oh=oh)
+    freef = gp.cam_free.astype(jnp.float32)
 
     def matvec(xcols):
         """S x = Hcc_d x - A Hpp^-1 A^T x; x as 6 columns (C,)."""
@@ -490,6 +506,75 @@ def _gba_grouped_iteration(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
     return cam_new, points_new
 
 
+def _gba_dense_iteration(gp: GroupedGBA, cam_Tcw, points, act_g, act_s,
+                         cam_params, use_kernel, damping, oh,
+                         psum_fn=None):
+    """One GN step with the Schur complement MATERIALIZED:
+    S = Hcc_d - A Hpp^-1 A^T as a dense (6C, 6C) matrix, solved directly
+    (LU) instead of by CG. The dense coupling A (P, C, 6, 3) is built by a
+    P-batched one-hot GEMM from the point-major grid, so the two O(C^2 P)
+    GEMMs building S are pure MXU work. Exact inner solve -> better GN
+    steps than 30-iteration CG; preferred at moderate camera counts where
+    (6C)^2 * 3P FLOPs stay cheap (the caller picks dense vs CG).
+
+    Distributed: A is built per point-shard, S and the gradient correction
+    are partial sums psum'd ONCE per GN iteration (psum_fn), and every
+    device runs the same replicated dense solve — the classic distributed
+    Schur reduction (SURVEY.md section 2.3) with one collective per
+    Newton step instead of one per CG matvec."""
+    C = cam_Tcw.shape[0]
+    P = points.shape[0]
+    Kp, _ = gp.g_cam.shape
+    KpP = gp.g_cam.size
+
+    Hcc_d, g_c, Hinv, g_p, Yg, Ys = _assemble_grouped(
+        gp, cam_Tcw, points, act_g, act_s, cam_params, use_kernel, damping,
+        psum_fn=psum_fn, oh=oh)
+    freef = gp.cam_free.astype(jnp.float32)
+
+    # ---- dense coupling A[p, c, i, y] = sum_k oh[c, (k,p)] Y[k, p, i, y]
+    ohg = oh[:, :KpP].reshape(C, Kp, P).transpose(2, 0, 1)   # (P, C, Kp)
+    Yb = jnp.stack([jnp.stack([Yg[i][y] for y in range(3)], -1)
+                    for i in range(6)], -2)                  # (Kp, P, 6, 3)
+    Yb = Yb.transpose(1, 0, 2, 3).reshape(P, Kp, 18)
+    A = None
+    for part in _split_bf16(Yb, 2):
+        o = jax.lax.dot_general(ohg, part, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        A = o if A is None else A + o                        # (P, C, 18)
+    Ysb = jnp.stack([jnp.stack([Ys[i][y] for y in range(3)], -1)
+                     for i in range(6)], -2).reshape(-1, 18)  # (Sp, 18)
+    A = A.at[gp.sp_point, gp.sp_cam].add(Ysb)                # exact spill
+    A4 = A.reshape(P, C, 6, 3)
+
+    Hm = jnp.stack(Hinv, 1).reshape(P, 3, 3)
+    G = jnp.einsum("pciy,pyz->pciz", A4, Hm)                 # A Hpp^-1
+    S_pt = jax.lax.dot_general(G, A4, (((0, 3), (0, 3)), ((), ())))
+    gp3 = jnp.stack(g_p, 1)                                  # (P, 3)
+    hg = jnp.einsum("pyz,pz->py", Hm, gp3)
+    corr = jax.lax.dot_general(A4, hg, (((0, 3), (0, 1)), ((), ())))
+    if psum_fn is not None:
+        S_pt = psum_fn(S_pt)
+        corr = psum_fn(corr)
+
+    Hblk = jnp.stack([jnp.stack(Hcc_d[i], -1) for i in range(6)], -2)
+    S4 = (-S_pt).at[jnp.arange(C), :, jnp.arange(C), :].add(Hblk)
+    m = jnp.repeat(freef, 6)
+    S = S4.reshape(6 * C, 6 * C) * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+    g_cm = jnp.stack(g_c, 1)                                 # (C, 6)
+    rhs = (-(g_cm - corr) * freef[:, None]).reshape(-1)
+
+    dc = jnp.linalg.solve(S, rhs).reshape(C, 6) * freef[:, None]
+
+    # back-substitute points: dp = -Hpp^-1 (g_p + A^T dc)
+    atdc = jax.lax.dot_general(A4, dc, (((1, 2), (0, 1)), ((), ())))
+    dp = -jnp.einsum("pyz,pz->py", Hm, gp3 + atdc)
+
+    cam_new = jax.vmap(lambda d, Tc: exp_se3(d) @ Tc)(dc, cam_Tcw)
+    points_new = points + jnp.where(gp.point_valid[:, None], dp, 0.0)
+    return cam_new, points_new
+
+
 def _grouped_chi2(gp: GroupedGBA, cam_Tcw, points, cam_params, oh=None):
     (rg, _, _, bg), (rs, _, _, bs) = _edge_state(gp, cam_Tcw, points,
                                                  cam_params, oh=oh)
@@ -506,16 +591,22 @@ def _solve_grouped(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
                    damping: float, backend: str = "gemm", k_mv: int = 1):
     cam_params = (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
     C = gp.cam_Tcw.shape[0]
-    oh = _build_onehot(gp, C) if backend == "gemm" else None
+    oh = _build_onehot(gp, C) if backend in ("gemm", "dense") else None
     th_g = jnp.where(gp.g_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
     th_s = jnp.where(gp.sp_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
     n_pre = max(n_iters // 2, 1)
 
+    def step(cam_Tcw, points, act_g, act_s, use_kernel):
+        if backend == "dense":
+            return _gba_dense_iteration(gp, cam_Tcw, points, act_g, act_s,
+                                        cam_params, use_kernel, damping, oh)
+        return _gba_grouped_iteration(gp, cam_Tcw, points, act_g, act_s,
+                                      cam_params, use_kernel, damping,
+                                      cg_iters, oh=oh, k_mv=k_mv)
+
     def body_robust(_, state):
         cam_Tcw, points = state
-        return _gba_grouped_iteration(gp, cam_Tcw, points, gp.g_valid,
-                                      gp.sp_valid, cam_params, True,
-                                      damping, cg_iters, oh=oh, k_mv=k_mv)
+        return step(cam_Tcw, points, gp.g_valid, gp.sp_valid, True)
 
     cam_Tcw, points = jax.lax.fori_loop(
         0, n_pre, body_robust, (gp.cam_Tcw, gp.points))
@@ -527,9 +618,7 @@ def _solve_grouped(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
 
     def body_plain(_, state):
         cam_Tcw, points = state
-        return _gba_grouped_iteration(gp, cam_Tcw, points, act_g, act_s,
-                                      cam_params, False, damping, cg_iters,
-                                      oh=oh, k_mv=k_mv)
+        return step(cam_Tcw, points, act_g, act_s, False)
 
     cam_Tcw, points = jax.lax.fori_loop(
         0, n_iters - n_pre, body_plain, (cam_Tcw, points))
@@ -542,12 +631,23 @@ def _solve_grouped(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
     return cam_Tcw, points, in_g, in_s
 
 
+DENSE_MAX_CAMS = 512  # direct solve while (6C)^2*3P GEMMs stay cheap
+
+
 def global_bundle_adjustment_grouped(prob: BAProblem, cam, inv_sigma2_levels,
                                      n_iters: int = 10, cg_iters: int = 50,
                                      damping: float = 1e-5,
-                                     backend: str = "gemm", k_mv: int = 1):
+                                     backend: str = "auto", k_mv: int = 1):
     """API-compatible with optim.global_ba.global_bundle_adjustment:
-    returns (cam_Tcw, points, edge_inlier (E,) bool)."""
+    returns (cam_Tcw, points, edge_inlier (E,) bool). backend="auto" =
+    "gemm": single-device the one-hot-GEMM CG solver wins at every
+    measured scale (v5e, ms/GN iter: 25.4 vs dense 57.3 vs flat 90.6 at
+    C=256/65k edges; 146 vs flat 536 at C=1408/360k) — the dense path's
+    per-point batched GEMMs and the serial LU don't pay off without a
+    collective to amortize (see the distributed variant, where dense is
+    one psum per GN step instead of one per CG matvec)."""
+    if backend == "auto":
+        backend = "gemm"
     gp = group_global_problem(prob, inv_sigma2_levels)
     cam_Tcw, points, in_g, in_s = _solve_grouped(
         gp, cam, n_iters, cg_iters, damping, backend, k_mv)

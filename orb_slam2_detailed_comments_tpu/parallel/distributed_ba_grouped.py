@@ -140,20 +140,31 @@ def _shard_solve(gp_local: GroupedGBA, cam_params, n_iters, cg_iters,
     reductions psum'd over the mesh. Camera state stays replicated. The
     per-shard one-hot (C, S_local) makes every camera expand/reduce a
     local MXU GEMM followed by the single psum."""
-    from ..optim.global_ba_grouped import _build_onehot
+    from ..optim.global_ba_grouped import (_build_onehot,
+                                           _gba_dense_iteration)
     psum_fn = lambda x: jax.lax.psum(x, AXIS)
     C = gp_local.cam_Tcw.shape[0]
-    oh = _build_onehot(gp_local, C) if backend == "gemm" else None
+    oh = _build_onehot(gp_local, C) if backend in ("gemm", "dense") else None
     th_g = jnp.where(gp_local.g_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
     th_s = jnp.where(gp_local.sp_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
     n_pre = max(n_iters // 2, 1)
 
+    def step(cam_Tcw, points, act_g, act_s, use_kernel):
+        if backend == "dense":
+            # partial S / gradient-correction psum'd ONCE per GN step,
+            # replicated dense solve on every device
+            return _gba_dense_iteration(
+                gp_local, cam_Tcw, points, act_g, act_s, cam_params,
+                use_kernel, damping, oh, psum_fn=psum_fn)
+        return _gba_grouped_iteration(
+            gp_local, cam_Tcw, points, act_g, act_s, cam_params,
+            use_kernel, damping, cg_iters, psum_fn=psum_fn, oh=oh,
+            k_mv=k_mv)
+
     def body_robust(_, state):
         cam_Tcw, points = state
-        return _gba_grouped_iteration(
-            gp_local, cam_Tcw, points, gp_local.g_valid, gp_local.sp_valid,
-            cam_params, True, damping, cg_iters, psum_fn=psum_fn, oh=oh,
-            k_mv=k_mv)
+        return step(cam_Tcw, points, gp_local.g_valid, gp_local.sp_valid,
+                    True)
 
     cam_Tcw, points = jax.lax.fori_loop(
         0, n_pre, body_robust, (gp_local.cam_Tcw, gp_local.points))
@@ -165,9 +176,7 @@ def _shard_solve(gp_local: GroupedGBA, cam_params, n_iters, cg_iters,
 
     def body_plain(_, state):
         cam_Tcw, points = state
-        return _gba_grouped_iteration(
-            gp_local, cam_Tcw, points, act_g, act_s, cam_params, False,
-            damping, cg_iters, psum_fn=psum_fn, oh=oh, k_mv=k_mv)
+        return step(cam_Tcw, points, act_g, act_s, False)
 
     cam_Tcw, points = jax.lax.fori_loop(
         0, n_iters - n_pre, body_plain, (cam_Tcw, points))
@@ -178,10 +187,17 @@ def distributed_global_ba_grouped(prob: BAProblem, cam, inv_sigma2_levels,
                                   mesh: Mesh, n_iters: int = 10,
                                   cg_iters: int = 40, damping: float = 1e-5,
                                   kp_cap: int = 32, kc_cap: int = 1024,
-                                  backend: str = "gemm", k_mv: int = 1):
+                                  backend: str = "auto", k_mv: int = 1):
     """API-compatible with parallel.distributed_ba.distributed_global_ba:
     returns (cam_Tcw (C,4,4), points (P,3)) with the global point order of
-    `prob` restored."""
+    `prob` restored. backend="auto": dense direct Schur at moderate camera
+    counts — ONE (6C,6C) psum per GN step + replicated direct solve, the
+    right trade when collectives are expensive (multi-host DCN) — and
+    one-hot-GEMM CG (one small psum per matvec, cheap on ICI) beyond."""
+    if backend == "auto":
+        from ..optim.global_ba_grouped import DENSE_MAX_CAMS
+        C = int(np.asarray(prob.cam_Tcw).shape[0])
+        backend = "dense" if C <= DENSE_MAX_CAMS else "gemm"
     n_dev = int(mesh.devices.size)
     gp, point_map = shard_grouped_problem(prob, inv_sigma2_levels, n_dev,
                                           kp_cap=kp_cap, kc_cap=kc_cap)

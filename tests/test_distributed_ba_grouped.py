@@ -52,13 +52,14 @@ class TestSharding:
 
 
 class TestAgreement:
-    def test_matches_single_device_grouped(self):
+    @pytest.mark.parametrize("backend", ["gemm", "dense"])
+    def test_matches_single_device_grouped(self, backend):
         prob = build_problem(C=24, P=600)
         gp = group_global_problem(prob, INV_S2)
-        cams_g, pts_g, _, _ = _solve_grouped(gp, CAM, 4, 25, 1e-5)
+        cams_g, pts_g, _, _ = _solve_grouped(gp, CAM, 4, 25, 1e-5, backend)
         mesh = make_grouped_mesh()
         cams_d, pts_d = distributed_global_ba_grouped(
-            prob, CAM, INV_S2, mesh, n_iters=4, cg_iters=25)
+            prob, CAM, INV_S2, mesh, n_iters=4, cg_iters=25, backend=backend)
         np.testing.assert_allclose(np.asarray(cams_d), np.asarray(cams_g),
                                    atol=5e-4)
         np.testing.assert_allclose(np.asarray(pts_d), np.asarray(pts_g),

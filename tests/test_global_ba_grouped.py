@@ -86,7 +86,8 @@ class TestGrouping:
 
 class TestAgreementWithFlat:
     @pytest.mark.parametrize("kp_cap,backend", [(8, "gemm"), (64, "gemm"),
-                                                (8, "gather")])
+                                                (8, "gather"), (8, "dense"),
+                                                (64, "dense")])
     def test_matches_flat_solver(self, kp_cap, backend):
         prob = build_problem()
         cams_f, pts_f, inl_f = global_bundle_adjustment(
