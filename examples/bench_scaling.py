@@ -79,6 +79,17 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--cg", type=int, default=30)
     ap.add_argument("--devices", type=str, default="")
+    ap.add_argument("--solver", choices=("grouped", "flat"), default="grouped",
+                    help="grouped = point-sharded one-hot-GEMM/dense solver "
+                         "(production); flat = edge-sharded scatter PCG")
+    ap.add_argument("--analytic", action="store_true",
+                    help="report per-device FLOPs from XLA cost analysis "
+                         "instead of wall clock. Wall clock on a VIRTUAL "
+                         "device mesh (CPU) is NOT a scaling signal — all "
+                         "virtual devices share the same physical cores, so "
+                         "t(n) ~= t(1) by construction. Per-device FLOPs "
+                         "shrinking ~1/n plus the (analytically known) "
+                         "collective volume IS measurable anywhere.")
     args = ap.parse_args()
 
     if os.environ.get("ORB_FORCE_CPU"):
@@ -88,9 +99,13 @@ def main():
     import jax
     from jax.sharding import Mesh
     from orb_slam2_detailed_comments_tpu.geometry.camera import PinholeCamera
-    from orb_slam2_detailed_comments_tpu.parallel.distributed_ba import (
-        distributed_global_ba,
-    )
+    if args.solver == "grouped":
+        from orb_slam2_detailed_comments_tpu.parallel.distributed_ba_grouped \
+            import distributed_global_ba_grouped as distributed_global_ba
+    else:
+        from orb_slam2_detailed_comments_tpu.parallel.distributed_ba import (
+            distributed_global_ba,
+        )
 
     all_dev = jax.devices()
     if args.devices:
@@ -109,15 +124,58 @@ def main():
     cam = PinholeCamera(fx=718.0, fy=718.0, cx=607.0, cy=185.0)
     import jax.numpy as jnp
     inv_s2 = jnp.asarray([1.0 / 1.2 ** (2 * i) for i in range(8)], jnp.float32)
-    prob = build_problem(args.cams, args.points, args.obs_per_cam)
+    # grouped solver preprocesses on the host: keep the problem host-side
+    # (avoids the catastrophic first device->host pull through the tunnel)
+    prob = build_problem(args.cams, args.points, args.obs_per_cam,
+                         as_numpy=(args.solver == "grouped"))
     E = int(prob.edge_cam.shape[0])
     print(f"# problem: {args.cams} cams, {args.points} points, {E} edges",
           file=sys.stderr)
 
+    if args.analytic:
+        if args.solver != "grouped":
+            raise SystemExit("--analytic supports the grouped solver only")
+        from orb_slam2_detailed_comments_tpu.optim.global_ba_grouped import (
+            DENSE_MAX_CAMS)
+        C = args.cams
+        backend = "dense" if C <= DENSE_MAX_CAMS else "gemm"
+        rows = []
+        f1 = None
+        for n in counts:
+            mesh = Mesh(np.asarray(all_dev[:n]), ("pt",))
+            ca = distributed_global_ba(prob, cam, inv_s2, mesh,
+                                       n_iters=args.iters, cg_iters=args.cg,
+                                       analyze=True)
+            gflop = ca["flops"] / args.iters / 1e9
+            if f1 is None:
+                f1 = gflop
+            # collective f32 volume per GN step, from the solver structure:
+            # assembly psum (27+6 cols of C) + [dense: S (6C)^2 + corr 6C |
+            # cg: one (6,C) psum per matvec + rhs corr]
+            if backend == "dense":
+                coll = (33 * C + 36 * C * C + 6 * C) * 4
+            else:
+                coll = (33 * C + 6 * C + args.cg * 6 * C) * 4
+            rows.append({
+                "devices": n, "gflop_per_device_per_gn": round(gflop, 2),
+                "parallel_fraction": round(f1 / (n * gflop), 3),
+                "collective_mb_per_gn": round(coll / 1e6, 2),
+                "backend": backend})
+            print(json.dumps(rows[-1]))
+        print(json.dumps({
+            "metric": "distributed_gba_flops_scaling",
+            "value": rows[-1]["parallel_fraction"],
+            "unit": "flops(1)/(n*flops(n))_at_max_devices",
+            "devices": rows[-1]["devices"],
+            "rows": rows,
+        }))
+        return
+
     results = []
     t1 = None
+    axis = "pt" if args.solver == "grouped" else "edge"
     for n in counts:
-        mesh = Mesh(np.asarray(all_dev[:n]), ("edge",))
+        mesh = Mesh(np.asarray(all_dev[:n]), (axis,))
         run = lambda: distributed_global_ba(
             prob, cam, inv_s2, mesh, n_iters=args.iters, cg_iters=args.cg)
         cams_out, _ = run()          # compile + warmup

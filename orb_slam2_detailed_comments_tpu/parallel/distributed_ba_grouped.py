@@ -187,7 +187,8 @@ def distributed_global_ba_grouped(prob: BAProblem, cam, inv_sigma2_levels,
                                   mesh: Mesh, n_iters: int = 10,
                                   cg_iters: int = 40, damping: float = 1e-5,
                                   kp_cap: int = 32, kc_cap: int = 1024,
-                                  backend: str = "auto", k_mv: int = 1):
+                                  backend: str = "auto", k_mv: int = 1,
+                                  analyze: bool = False):
     """API-compatible with parallel.distributed_ba.distributed_global_ba:
     returns (cam_Tcw (C,4,4), points (P,3)) with the global point order of
     `prob` restored. backend="auto": dense direct Schur at moderate camera
@@ -232,6 +233,10 @@ def distributed_global_ba_grouped(prob: BAProblem, cam, inv_sigma2_levels,
                                        cg_iters, damping, backend=backend,
                                        k_mv=k_mv)
         return cam_Tcw, points[None]
+
+    if analyze:
+        # per-device HLO cost analysis (SPMD module = one device's program)
+        return solve.lower(gp).compile().cost_analysis()
 
     cam_Tcw, pts_sharded = solve(gp)
 
