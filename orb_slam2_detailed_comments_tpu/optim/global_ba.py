@@ -25,6 +25,24 @@ from .local_ba import BAProblem, _edge_terms, _inv3x3, edge_chi2
 from .robust import CHI2_MONO, CHI2_STEREO, DELTA_MONO, DELTA_STEREO, huber_weight
 
 
+def _robust_cost(cam_Tcw, points, prob: BAProblem, active, cam_params,
+                 inv_sigma2_levels, use_kernel):
+    """Total robust objective: sum of Huber rho(chi2) over active edges.
+
+    Matches g2o's activeRobustChi2() which LM uses for step acceptance
+    (reference: g2o optimization_algorithm_levenberg.cpp computes the
+    error before/after applying the increment and rolls back on increase).
+    """
+    chi2, behind = edge_chi2(cam_Tcw, points, prob, cam_params,
+                             inv_sigma2_levels)
+    is_stereo = prob.edge_obs[:, 2] >= 0.0
+    delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    rho = jnp.where(chi2 <= delta2, chi2,
+                    2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2)
+    c = jnp.where(use_kernel, rho, chi2)
+    return jnp.sum(jnp.where(active & ~behind, c, 0.0))
+
+
 def _assemble(cam_Tcw, points, prob: BAProblem, active, cam_params,
               inv_sigma2_levels, use_kernel, damping):
     """Per-iteration linearization: returns (Hcc_d, Hpp_inv, Y, g_c, g_p)."""
@@ -135,23 +153,40 @@ def _gba_iteration(cam_Tcw, points, prob: BAProblem, active, cam_params,
 def global_bundle_adjustment(prob: BAProblem, cam, inv_sigma2_levels,
                              n_iters: int = 10, cg_iters: int = 50,
                              damping: float = 1e-5):
-    """GN iterations with PCG-Schur inner solves (reference runs 10 or 20 LM
+    """LM iterations with PCG-Schur inner solves (reference runs 10 or 20 LM
     iterations for global BA, Optimizer.cc:80 / Tracking.cc:1089). Robust
-    kernel active on the first half of the iterations only."""
+    kernel active on the first half of the iterations only. Each step is
+    accepted only if it does not increase the robust objective; rejected
+    steps raise the damping (g2o's Levenberg rollback), so ill-conditioned
+    maps cannot diverge the way fixed-damping GN could."""
     cam_params = (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
     is_stereo = prob.edge_obs[:, 2] >= 0.0
     chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
 
     n_pre = max(n_iters // 2, 1)
 
-    def body_robust(_, state):
-        cam_Tcw, points = state
-        return _gba_iteration(cam_Tcw, points, prob, prob.edge_valid,
-                              cam_params, inv_sigma2_levels, True,
-                              damping, cg_iters)
+    def lm_body(active, use_kernel):
+        def body(_, state):
+            cam_Tcw, points, lam, c_cur = state
+            cand_c, cand_p = _gba_iteration(
+                cam_Tcw, points, prob, active, cam_params,
+                inv_sigma2_levels, use_kernel, lam, cg_iters)
+            c_new = _robust_cost(cand_c, cand_p, prob, active, cam_params,
+                                 inv_sigma2_levels, use_kernel)
+            accept = c_new <= c_cur
+            cam_Tcw = jnp.where(accept, cand_c, cam_Tcw)
+            points = jnp.where(accept, cand_p, points)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                            jnp.minimum(lam * 8.0, 1e2))
+            return cam_Tcw, points, lam, jnp.where(accept, c_new, c_cur)
+        return body
 
-    cam_Tcw, points = jax.lax.fori_loop(0, n_pre, body_robust,
-                                        (prob.cam_Tcw, prob.points))
+    lam0 = jnp.float32(damping)
+    c0 = _robust_cost(prob.cam_Tcw, prob.points, prob, prob.edge_valid,
+                      cam_params, inv_sigma2_levels, True)
+    cam_Tcw, points, _, _ = jax.lax.fori_loop(
+        0, n_pre, lm_body(prob.edge_valid, True),
+        (prob.cam_Tcw, prob.points, lam0, c0))
 
     # chi2-gate outliers before dropping the robust kernel (matches the
     # local-BA schedule; the reference erases outlier edges between its
@@ -159,14 +194,11 @@ def global_bundle_adjustment(prob: BAProblem, cam, inv_sigma2_levels,
     chi2_mid, behind_mid = edge_chi2(cam_Tcw, points, prob, cam_params, inv_sigma2_levels)
     active = prob.edge_valid & (chi2_mid <= chi2_th) & ~behind_mid
 
-    def body_plain(_, state):
-        cam_Tcw, points = state
-        return _gba_iteration(cam_Tcw, points, prob, active,
-                              cam_params, inv_sigma2_levels, False,
-                              damping, cg_iters)
-
-    cam_Tcw, points = jax.lax.fori_loop(0, n_iters - n_pre, body_plain,
-                                        (cam_Tcw, points))
+    c1 = _robust_cost(cam_Tcw, points, prob, active, cam_params,
+                      inv_sigma2_levels, False)
+    cam_Tcw, points, _, _ = jax.lax.fori_loop(
+        0, n_iters - n_pre, lm_body(active, False),
+        (cam_Tcw, points, lam0, c1))
     cam_Tcw = se3_renormalize(cam_Tcw)
     chi2, behind = edge_chi2(cam_Tcw, points, prob, cam_params, inv_sigma2_levels)
     inlier = prob.edge_valid & (chi2 <= chi2_th) & ~behind

@@ -152,3 +152,23 @@ class TestGlobalBA:
         for c in range(2, len(cams)):
             np.testing.assert_allclose(cams[c], cams_true[c], atol=2e-2)
         assert (~np.asarray(inlier)).sum() >= 40
+
+    def test_lm_acceptance_on_harsh_start(self):
+        # Far-from-optimum start with heavy outliers: LM step acceptance
+        # (g2o-equivalent rollback) must keep the iteration finite and the
+        # robust objective non-increasing; fixed-damping GN could diverge
+        # on such problems (same failure mode fixed in local BA).
+        from orb_slam2_detailed_comments_tpu.optim.global_ba import (
+            global_bundle_adjustment, _robust_cost)
+        prob, cams_true, pts_true = build_synthetic_ba(
+            seed=7, pose_pert=0.3, point_pert=0.6, n_outliers=100)
+        cams, pts, inlier = global_bundle_adjustment(prob, CAM, INV_SIGMA2)
+        cams = np.asarray(cams)
+        pts = np.asarray(pts)
+        assert np.isfinite(cams).all() and np.isfinite(pts).all()
+        cam_params = (CAM.fx, CAM.fy, CAM.cx, CAM.cy, CAM.bf)
+        c0 = float(_robust_cost(prob.cam_Tcw, prob.points, prob,
+                                prob.edge_valid, cam_params, INV_SIGMA2, True))
+        c1 = float(_robust_cost(jnp.asarray(cams), jnp.asarray(pts), prob,
+                                prob.edge_valid, cam_params, INV_SIGMA2, True))
+        assert c1 < c0, (c0, c1)
