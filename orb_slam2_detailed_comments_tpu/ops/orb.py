@@ -126,6 +126,14 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
     gather path (tests/test_orb.py TestOnehotDescriptorPath) and measured
     2x faster end-to-end on v5e (bench.py: 10.78 -> 5.65 ms/frame, the
     whole tracking step). ORB_DESC_ONEHOT=0 restores the gather path.
+
+    The blurred image is rounded to integers before sampling, exactly as
+    the reference does (it blurs into a uchar image and GET_VALUE reads
+    uchars, ORBextractor.cc:177-254). Integers in [0, 255] are exactly
+    representable in bfloat16, so the one-hot contraction runs as a pure
+    1-pass bf16 MXU matmul (vs 6 passes under the package-wide
+    float32-precision default) with bit-exact selection semantics — the
+    descriptor stage measured 1.49 ms of the 3.36 ms frame before this.
     """
     import os
     use_onehot = os.environ.get("ORB_DESC_ONEHOT", "1") not in ("0", "false")
@@ -136,7 +144,9 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
     py = jnp.concatenate([y0, y1])
     r = DESC_RADIUS
     psize = 2 * r + 1
-    pair = jnp.stack([raw_img, blurred_img])  # (2, H, W)
+    # round the blurred image to integers (= the reference's uchar blurred
+    # image); integers <= 255 are exact in bf16, enabling the 1-pass path
+    pair = jnp.stack([raw_img, jnp.round(blurred_img)])  # (2, H, W)
     padded = jnp.pad(pair, ((0, 0), (r, r), (r, r)), mode="edge")
     shifts = jnp.arange(32, dtype=jnp.uint32)
     iota_s = jnp.arange(psize, dtype=jnp.int32)
@@ -151,9 +161,11 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
         dx = jnp.round(px * ca - py * sa).astype(jnp.int32)  # (512,)
         dy = jnp.round(px * sa + py * ca).astype(jnp.int32)
         if use_onehot:
-            row1h = (iota_s[None, :] == (dy + r)[:, None]).astype(blurp.dtype)
-            col1h = (iota_s[None, :] == (dx + r)[:, None]).astype(blurp.dtype)
-            rows = jnp.dot(row1h, blurp, preferred_element_type=jnp.float32)
+            row1h = (iota_s[None, :] == (dy + r)[:, None]).astype(jnp.bfloat16)
+            col1h = (iota_s[None, :] == (dx + r)[:, None]).astype(jnp.float32)
+            rows = jnp.dot(row1h, blurp.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
             v = jnp.sum(rows * col1h, axis=-1)  # (512,)
         else:
             flat = blurp.reshape(-1)

@@ -62,17 +62,75 @@ def _resize_bilinear(img, out_hw):
     return jax.image.resize(img, out_hw, method="linear")
 
 
+@functools.lru_cache(maxsize=None)
+def _composed_resize_mats(height: int, width: int, n_levels: int,
+                          scale_factor: float):
+    """Per-level row/column resize matrices composed across the level chain.
+
+    jax.image.resize(method="linear") is a separable LINEAR map, i.e.
+    resize(x) = A @ x @ B.T with per-axis weight matrices. The level-(k-1)
+    -> level-k chain therefore composes into level-k = Acum_k @ img @
+    Bcum_k.T with Acum_k = A_k @ ... @ A_1 — the same anti-aliasing
+    accumulation as the sequential chain (reference resizes level-to-level,
+    ORBextractor.cc:2130) but with every level computable directly from
+    level 0 as one independent MXU matmul pair instead of a serial
+    dependency chain of 7 small resizes.
+
+    The single-axis matrices are extracted by resizing identity matrices
+    (the untouched axis has scale 1 -> identity weights) on the host CPU
+    backend, and the compositions are accumulated in float64 so the only
+    rounding vs the sequential f32 chain is the final f32 cast.
+    """
+    shapes = pyramid_shapes(height, width, n_levels, scale_factor)
+    cpu = jax.devices("cpu")[0]
+    rows, cols = [], []
+    acum = np.eye(height, dtype=np.float64)
+    bcum = np.eye(width, dtype=np.float64)
+    # ensure_compile_time_eval: this may be first reached while tracing
+    # extract_orb; the weight extraction must run eagerly (on host CPU).
+    with jax.ensure_compile_time_eval(), jax.default_device(cpu):
+        for lv in range(1, n_levels):
+            h_in, w_in = shapes[lv - 1]
+            h_out, w_out = shapes[lv]
+            # f32 identities: the sequential chain computes its weights at
+            # the image dtype anyway; the composition accumulates in f64.
+            A = np.asarray(jax.image.resize(
+                jnp.eye(h_in, dtype=jnp.float32), (h_out, h_in), "linear"),
+                np.float64)
+            B = np.asarray(jax.image.resize(
+                jnp.eye(w_in, dtype=jnp.float32), (w_out, w_in), "linear"),
+                np.float64)
+            acum = A @ acum
+            bcum = B @ bcum
+            rows.append(acum.astype(np.float32))
+            cols.append(bcum.astype(np.float32))
+    return tuple(rows), tuple(cols)
+
+
 def build_pyramid(img, n_levels: int = 8, scale_factor: float = 1.2) -> List[jnp.ndarray]:
     """Build the scale pyramid of a (H, W) float32 image.
 
     The reference resizes level-to-level with INTER_LINEAR
-    (ORBextractor.cc:2130). We resize from the previous level too (not from
-    level 0) so the anti-aliasing accumulation matches.
+    (ORBextractor.cc:2130). We keep the same level-to-level anti-aliasing
+    accumulation but evaluate it as composed per-level resize matrices
+    (see _composed_resize_mats) — all levels issue in parallel from level 0.
+    ORB_PYRAMID_COMPOSED=0 restores the sequential resize chain.
     """
-    levels = [img]
+    import os
+    composed = os.environ.get("ORB_PYRAMID_COMPOSED", "1") not in ("0", "false")
     shapes = pyramid_shapes(img.shape[0], img.shape[1], n_levels, scale_factor)
+    if not composed:
+        levels = [img]
+        for lv in range(1, n_levels):
+            levels.append(_resize_bilinear(levels[-1], shapes[lv]))
+        return levels
+    rows, cols = _composed_resize_mats(
+        img.shape[0], img.shape[1], n_levels, scale_factor)
+    levels = [img]
     for lv in range(1, n_levels):
-        levels.append(_resize_bilinear(levels[-1], shapes[lv]))
+        A = jnp.asarray(rows[lv - 1])
+        B = jnp.asarray(cols[lv - 1])
+        levels.append((A @ img) @ B.T)
     return levels
 
 
