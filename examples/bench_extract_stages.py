@@ -28,7 +28,7 @@ from orb_slam2_detailed_comments_tpu.models.slam_step import mono_tracking_step
 from orb_slam2_detailed_comments_tpu.ops.fast import (
     fast_score_dense, fast_score_map, nms_3x3)
 from orb_slam2_detailed_comments_tpu.ops.orb import (
-    _fused_level_angles_descriptors, _select_level_keypoints, extract_orb)
+    _select_level_keypoints, extract_orb)
 from orb_slam2_detailed_comments_tpu.ops.pyramid import (
     build_pyramid, features_per_level, gaussian_blur, pyramid_shapes)
 
@@ -78,6 +78,9 @@ def main():
 
     @jax.jit
     def stage_select(img):
+        # NOTE: this hand-mirrors extract_orb's internal border-masking +
+        # selection so the sub-stage can be timed in isolation; keep in
+        # sync with ops/orb.py extract_orb or the timings misattribute.
         levels = build_pyramid(img, n_levels, sf)
         outs = []
         for lv, limg in enumerate(levels):

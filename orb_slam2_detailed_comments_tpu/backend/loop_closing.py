@@ -186,13 +186,28 @@ class LoopCloser:
             if loop_points.size == 0:
                 continue
             Scw = S_cl @ T2  # world -> current cam (Sim3-corrected)
-            n_total = self._count_projection_matches(kf, loop_points, Scw)
+            # current-KF keypoints whose Sim3 match survived OptimizeSim3's
+            # chi2 pruning — the reference nulls pruned matches inside
+            # OptimizeSim3 (Optimizer.cc:1556-1571) and keeps the survivors
+            # in mvpCurrentMatchedPoints, which SearchByProjection then
+            # skips and the >=40 acceptance counts alongside new matches
+            # (LoopClosing.cc:636-655).
+            prematched = i_cur[np.asarray(opt.inliers)]
+            n_total = self._count_projection_matches(kf, loop_points, Scw,
+                                                     prematched)
             if n_total >= 40:
                 return cand, S_cl, loop_points
         return None
 
     def _count_projection_matches(self, kf: int, loop_points: np.ndarray,
-                                  Scw: np.ndarray) -> int:
+                                  Scw: np.ndarray,
+                                  prematched_kp: Optional[np.ndarray] = None) -> int:
+        """Total loop-match count for the >=40 acceptance gate
+        (reference: LoopClosing.cc:594-655): keypoints already matched by
+        the Sim3 stage are excluded from the projection search (the
+        reference's SearchByProjection skips filled mvpCurrentMatchedPoints
+        slots, ORBmatcher.cc:422-568) and counted once alongside the new
+        projection matches."""
         mp = self.map
         cap = 8192
         ids = loop_points[:cap]
@@ -202,6 +217,11 @@ class LoopCloser:
         # normalize Sim3 to SE3-like for projection: [sR|t] projects the
         # same as [R|t/s] (reference Sim3Solver projection uses Scw directly)
         Tcw = np.asarray(sim3_to_se3(jnp.asarray(Scw)), np.float32)
+        kp_free = mp.kf_kp_valid[kf].copy()
+        n_prematched = 0
+        if prematched_kp is not None and prematched_kp.size:
+            kp_free[prematched_kp] = False
+            n_prematched = int(prematched_kp.size)
         proj = M.project_and_cull(
             jnp.asarray(mp.mp_pos[ids_p]), jnp.asarray(pvalid),
             jnp.asarray(mp.mp_normal[ids_p]), jnp.asarray(mp.mp_min_dist[ids_p]),
@@ -211,13 +231,11 @@ class LoopCloser:
         m = M.search_by_projection(
             proj, jnp.asarray(mp.mp_desc[ids_p]),
             jnp.asarray(mp.kf_xy[kf]), jnp.asarray(mp.kf_ur[kf]),
-            jnp.asarray(mp.kf_desc[kf]), jnp.asarray(mp.kf_kp_valid[kf]),
+            jnp.asarray(mp.kf_desc[kf]), jnp.asarray(kp_free),
             jnp.asarray(mp.kf_octave[kf]), jnp.asarray(self.scale_factors),
             th=10.0 / 4.0, max_dist=M.TH_HIGH, ratio=0.0)
-        # count matches to kps that already track the same point OR new
-        already = mp.kf_mp[kf]
         ok = np.asarray(m.ok)
-        return int(ok.sum() + (np.isin(already[already >= 0], ids)).sum() * 0)
+        return int(ok.sum()) + n_prematched
 
     # ------------------------------------------------------------------
 

@@ -127,9 +127,13 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
     2x faster end-to-end on v5e (bench.py: 10.78 -> 5.65 ms/frame, the
     whole tracking step). ORB_DESC_ONEHOT=0 restores the gather path.
 
-    The blurred image is rounded to integers before sampling, exactly as
-    the reference does (it blurs into a uchar image and GET_VALUE reads
-    uchars, ORBextractor.cc:177-254). Integers in [0, 255] are exactly
+    The blurred image is rounded to integers before sampling, matching the
+    reference's uchar quantization (it blurs into a uchar image and
+    GET_VALUE reads uchars, ORBextractor.cc:177-254; our float blur +
+    round-half-to-even is not bit-identical to OpenCV's fixed-point
+    half-up rounding, so half-integer blur values can differ by 1 gray
+    level — trajectory-level equivalence is what's gated, SURVEY.md
+    section 7 "hard parts"). Integers in [0, 255] are exactly
     representable in bfloat16, so the one-hot contraction runs as a pure
     1-pass bf16 MXU matmul (vs 6 passes under the package-wide
     float32-precision default) with bit-exact selection semantics — the

@@ -182,3 +182,41 @@ class TestLoopClosing:
         assert endpoint_after < max(0.5 * endpoint_before, 0.02), \
             f"correction did not reduce endpoint drift: {endpoint_before:.4f} -> {endpoint_after:.4f}"
         assert (min(kf, 0), max(kf, 0)) in ms.loop_edges
+
+
+class TestLoopAcceptanceCount:
+    """Pin the >=40 acceptance semantics (reference: LoopClosing.cc:594-655):
+    the total counts keypoints already matched by the Sim3 stage PLUS new
+    projection matches, with already-matched keypoints excluded from the
+    projection search (no double counting)."""
+
+    def test_counts_existing_plus_new(self):
+        cfg, ms, gt, est = build_drifted_loop()
+        descs = ms.kf_desc[ms.kf_kp_valid]
+        voc = BinaryVocabulary.train(descs, n_words=512, n_iters=2)
+        kfdb = KeyFrameDatabase(voc, cfg.max_keyframes)
+        mapper = LocalMapper(cfg, ms, monocular=True)
+        lc = LoopCloser(cfg, ms, voc, kfdb, fix_scale=False,
+                        local_mapper=mapper, run_global_ba=False)
+        kf = int(ms.keyframe_ids()[-1])
+        out = lc._compute_sim3(kf, [0])
+        assert out is not None
+        loop_kf, S_cl, loop_points = out
+        Scw = (S_cl @ ms.kf_Tcw[loop_kf]).astype(np.float32)
+
+        # baseline: no prematched set -> pure projection count
+        n_new = lc._count_projection_matches(kf, loop_points, Scw)
+        assert n_new > 0
+
+        # every valid keypoint prematched -> zero free targets, so the
+        # total must equal the existing-match count exactly
+        all_kp = np.nonzero(ms.kf_kp_valid[kf])[0]
+        assert lc._count_projection_matches(kf, loop_points, Scw, all_kp) \
+            == len(all_kp)
+
+        # a partial prematched set is counted once and its keypoints are
+        # excluded from the search (no double counting)
+        pre = all_kp[:10]
+        total = lc._count_projection_matches(kf, loop_points, Scw, pre)
+        assert total >= 10
+        assert total <= n_new + 10

@@ -93,6 +93,26 @@ class TestPyramid:
         assert lv[1].shape == (int(round(240 / 1.2)), int(round(320 / 1.2)))
 
 
+class TestPyramidComposed:
+    def test_composed_matches_sequential_chain(self, monkeypatch):
+        """ORB_PYRAMID_COMPOSED=1 (default) evaluates each level as one
+        composed resize matrix from level 0 instead of the sequential
+        level-to-level chain; the composition is exact linear algebra, so
+        every level must agree with the chain to float tolerance (ADVICE
+        round 1: a bug in matrix extraction/composition would otherwise go
+        undetected — shapes-only tests can't see it)."""
+        img = jnp.asarray(textured_image(h=120, w=160, seed=3))
+        monkeypatch.setenv("ORB_PYRAMID_COMPOSED", "0")
+        seq = build_pyramid(img)
+        monkeypatch.setenv("ORB_PYRAMID_COMPOSED", "1")
+        comp = build_pyramid(img)
+        assert len(seq) == len(comp)
+        for lv, (a, b) in enumerate(zip(seq, comp)):
+            assert a.shape == b.shape
+            dev = float(jnp.max(jnp.abs(a - b)))
+            assert dev < 1e-2, f"level {lv}: composed vs sequential max dev {dev}"
+
+
 class TestExtractor:
     CFG = OrbConfig(n_features=500, max_keypoints=1024)
 
@@ -232,7 +252,7 @@ class TestOnehotDescriptorPath:
                       axis=-1).astype(np.int32)
         valid = np.ones(64, bool)
 
-        monkeypatch.delenv("ORB_DESC_ONEHOT", raising=False)
+        monkeypatch.setenv("ORB_DESC_ONEHOT", "0")  # force the gather path
         ang0, desc0 = _fused_level_angles_descriptors(
             img, blurred, jnp.asarray(xy), jnp.asarray(valid))
         monkeypatch.setenv("ORB_DESC_ONEHOT", "1")
