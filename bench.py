@@ -6,6 +6,12 @@ input (640x480, 1000 ORB features) on a desktop i7 (BASELINE.md). We run
 the flagship fused tracking step (ORB pyramid + FAST + BRIEF + local-map
 projection matching + IRLS pose GN) on identical-sized synthetic input and
 report steady-state frames/sec on one chip. vs_baseline = fps / 30.
+
+BENCH_MODE=stereo benchmarks the fused STEREO step instead, at KITTI's
+actual geometry (1241x376, 2000 features, KITTI00-02.yaml calibration):
+one-dispatch L/R batched extraction + row-bucket SAD stereo matching +
+stereo projection matching + (u,v,uR) pose GN. vs_baseline = fps / 10
+(the KITTI frame budget, BASELINE.md).
 """
 from __future__ import annotations
 
@@ -61,14 +67,72 @@ def make_consistent_inputs(seed=0):
             jnp.asarray(desc), jnp.asarray(valid)), orb, cam
 
 
+def make_stereo_inputs(seed=0):
+    """KITTI-geometry synthetic stereo pair + consistent local map. The
+    right image is the left warped by the exact disparity of a constant-
+    depth scene (bf/z), so the SAD refinement does real work."""
+    import jax.numpy as jnp
+    from orb_slam2_detailed_comments_tpu.geometry.camera import PinholeCamera
+    from orb_slam2_detailed_comments_tpu.ops.orb import extract_orb
+    from orb_slam2_detailed_comments_tpu.utils.config import OrbConfig
+    from orb_slam2_detailed_comments_tpu.models.slam_step import LOCAL_MP_CAP
+
+    rng = np.random.default_rng(seed)
+    h, w = 376, 1241                    # KITTI00-02.yaml image geometry
+    cam = PinholeCamera(fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+                        bf=386.1448, width=w, height=h)
+    z = 19.3                            # -> ~20 px disparity
+    disp = cam.bf / z
+    img = np.full((h, w), 40.0, np.float32)
+    ys = rng.integers(10, h - 14, 6000)
+    xs = rng.integers(10, w - 14, 6000)
+    for y, x in zip(ys, xs):
+        s = rng.integers(3, 10)
+        img[y:y + s, x:x + s] = rng.uniform(60, 250)
+    # exact-shift right image (integer part; sub-pixel left to the SAD)
+    sh = int(round(disp))
+    img_r = np.full_like(img, 40.0)
+    img_r[:, :w - sh] = img[:, sh:]
+
+    orb = OrbConfig(n_features=2000, max_keypoints=2048)  # KITTI00-02.yaml:37
+    kp = extract_orb(jnp.asarray(img), orb)
+    kp_xy = np.asarray(kp.xy)
+    kp_valid = np.asarray(kp.valid)
+    kp_desc = np.asarray(kp.desc)
+    P = LOCAL_MP_CAP
+    idx = rng.integers(0, kp_xy.shape[0], P)
+    x3 = (kp_xy[idx, 0] - cam.cx) / cam.fx * z
+    y3 = (kp_xy[idx, 1] - cam.cy) / cam.fy * z
+    pos = np.stack([x3, y3, np.full(P, z)], -1).astype(np.float32)
+    normal = pos / np.linalg.norm(pos, axis=-1, keepdims=True)
+    dists = np.linalg.norm(pos, axis=-1)
+    kp_oct = np.asarray(kp.octave)[idx]
+    max_dist = dists * (1.2 ** kp_oct)
+    min_dist = max_dist / (1.2 ** 7)
+    return (jnp.asarray(img), jnp.asarray(img_r),
+            jnp.eye(4, dtype=jnp.float32), jnp.asarray(pos),
+            jnp.asarray(normal), jnp.asarray(min_dist),
+            jnp.asarray(max_dist), jnp.asarray(kp_desc[idx]),
+            jnp.asarray(kp_valid[idx])), orb, cam
+
+
 def main():
+    import os
     import jax
-    from orb_slam2_detailed_comments_tpu.models.slam_step import mono_tracking_step
+    from orb_slam2_detailed_comments_tpu.models.slam_step import (
+        mono_tracking_step, stereo_tracking_step)
 
-    args, orb, cam = make_consistent_inputs()
+    stereo = os.environ.get("BENCH_MODE", "mono") == "stereo"
+    if stereo:
+        args, orb, cam = make_stereo_inputs()
 
-    def step(a):
-        return mono_tracking_step(*a, orb=orb, cam=cam)
+        def step(a):
+            return stereo_tracking_step(*a, orb=orb, cam=cam)
+    else:
+        args, orb, cam = make_consistent_inputs()
+
+        def step(a):
+            return mono_tracking_step(*a, orb=orb, cam=cam)
 
     # warmup / compile
     out = step(args)
@@ -84,13 +148,24 @@ def main():
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 
-    print(json.dumps({
-        "metric": "tracking_fps_640x480_1000feat",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
-        "extra": {"n_inliers": n_in, "latency_ms": round(1e3 * dt / n_iters, 3)},
-    }))
+    if stereo:
+        print(json.dumps({
+            "metric": "stereo_tracking_fps_1241x376_2000feat",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 10.0, 3),
+            "extra": {"n_inliers": n_in,
+                      "latency_ms": round(1e3 * dt / n_iters, 3)},
+        }))
+    else:
+        print(json.dumps({
+            "metric": "tracking_fps_640x480_1000feat",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 30.0, 3),
+            "extra": {"n_inliers": n_in,
+                      "latency_ms": round(1e3 * dt / n_iters, 3)},
+        }))
 
 
 if __name__ == "__main__":

@@ -13,6 +13,12 @@ Usage:
 
 Prints per-frame latency stats at exit like the reference mains
 (mono_tum.cc:96-121) and writes TUM + KITTI trajectory files.
+
+Options:
+  --viz DIR [--viz-period S]  stream annotated frame + map PNGs and a
+      status.json to DIR during the run — the headless equivalent of the
+      reference's live Pangolin viewer (Viewer.cc:76-236).
+  --localization              run in localization-only mode (frozen map).
 """
 from __future__ import annotations
 
@@ -33,11 +39,26 @@ from orb_slam2_detailed_comments_tpu.system import System
 
 
 def main():
-    if len(sys.argv) < 4:
+    argv = list(sys.argv[1:])
+    viz_dir = None
+    viz_period = 2.0
+    localization = False
+    if "--viz" in argv:
+        i = argv.index("--viz")
+        viz_dir = argv[i + 1]
+        del argv[i:i + 2]
+    if "--viz-period" in argv:
+        i = argv.index("--viz-period")
+        viz_period = float(argv[i + 1])
+        del argv[i:i + 2]
+    if "--localization" in argv:
+        argv.remove("--localization")
+        localization = True
+    if len(argv) < 3:
         print(__doc__)
         return 1
-    mode, settings, seq = sys.argv[1], sys.argv[2], sys.argv[3]
-    out = sys.argv[4] if len(sys.argv) > 4 else "trajectory"
+    mode, settings, seq = argv[0], argv[1], argv[2]
+    out = argv[3] if len(argv) > 3 else "trajectory"
 
     if mode.startswith("tum"):
         ds = TumRgbdDataset(seq)
@@ -52,6 +73,12 @@ def main():
         raise SystemExit(f"unknown mode {mode}")
 
     slam = System.from_settings_yaml(settings, sensor)
+    if localization:
+        slam.activate_localization_mode()
+    viewer = None
+    if viz_dir:
+        from orb_slam2_detailed_comments_tpu.viz.stream import StreamingViewer
+        viewer = StreamingViewer(slam, viz_dir, period_s=viz_period)
     times = []
     for i in range(len(ds)):
         item = ds[i]
@@ -62,15 +89,23 @@ def main():
         elif sensor == Sensor.STEREO:
             ts, left, right = item
             slam.track_stereo(left, right, ts)
+            img = left
         else:
             ts, img = item[0], item[1]
             slam.track_monocular(img, ts)
         times.append(time.perf_counter() - t0)
+        if viewer is not None:
+            viewer.update(img, slam.tracker.last_frame)
         if i % 50 == 0:
             print(f"frame {i}/{len(ds)} state={slam.tracking_state.name} "
                   f"kfs={slam.map.n_keyframes()} mps={slam.map.n_map_points()}")
 
+    if viewer is not None and len(ds):
+        viewer.update(img, slam.tracker.last_frame, force=True)
     slam.shutdown()
+    from orb_slam2_detailed_comments_tpu.utils import counters
+    if counters.snapshot():
+        print("capacity truncations:", counters.snapshot())
     times.sort()
     print("-------")
     print(f"median tracking time: {times[len(times) // 2]:.4f}s")

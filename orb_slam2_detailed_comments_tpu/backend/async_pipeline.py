@@ -30,6 +30,10 @@ class AsyncLocalMapper:
         self._stop = threading.Event()
         self._idle = threading.Event()
         self._idle.set()
+        # local-BA interruption under queue pressure (reference: Tracking's
+        # InsertKeyFrame sets mbAbortBA, LocalMapping.cc:954-957): a running
+        # local BA skips its second phase when another KF is waiting.
+        self.mapper.abort_ba_check = lambda: not self.queue.empty()
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 

@@ -26,6 +26,7 @@ from ..optim.local_ba import BAProblem, local_bundle_adjustment
 from ..optim.global_ba import global_bundle_adjustment
 from ..state.map_store import MapStore
 from ..utils.config import SlamConfig
+from ..utils import counters
 
 # static capacities for the local-BA device problem. Problems are padded
 # to the smallest fitting bucket so typical windows compile once and pay
@@ -37,6 +38,110 @@ BA_BUCKETS = (
     (64, 16384, 49152),
 )
 BA_CAM_CAP, BA_PT_CAP, BA_EDGE_CAP = BA_BUCKETS[-1]
+
+
+def build_global_ba_problem(mp: MapStore):
+    """Assemble the whole-map BAProblem from the store. Returns
+    (prob, kfs, pts) or None if the map is too small. Used both by the
+    synchronous global_ba below and by the transient interruptible GBA
+    runner (backend/gba_runner.py), which solves on this snapshot without
+    holding the map lock (reference: LoopClosing::RunGlobalBundleAdjustment
+    runs on a detached thread, LoopClosing.cc:962-965)."""
+    kfs = mp.keyframe_ids()
+    pts = mp.points_of_keyframes(kfs)
+    if pts.size == 0 or kfs.size < 2:
+        return None
+    cam_slot = {int(c): i for i, c in enumerate(kfs)}
+
+    e_cam, e_pt, e_obs, e_oct = [], [], [], []
+    for pi, p in enumerate(pts):
+        n = mp.mp_n_obs[p]
+        for o in range(n):
+            k = int(mp.mp_obs_kf[p, o])
+            if k not in cam_slot:
+                continue
+            i = int(mp.mp_obs_idx[p, o])
+            e_cam.append(cam_slot[k])
+            e_pt.append(pi)
+            e_obs.append((mp.kf_xy[k, i, 0], mp.kf_xy[k, i, 1], mp.kf_ur[k, i]))
+            e_oct.append(mp.kf_octave[k, i])
+
+    E = len(e_cam)
+    if E < 10:
+        return None
+    cam_free = np.ones(len(kfs), bool)
+    cam_free[cam_slot.get(mp.origin_kf, 0)] = False
+
+    prob = BAProblem(
+        cam_Tcw=jnp.asarray(mp.kf_Tcw[kfs]),
+        cam_free=jnp.asarray(cam_free),
+        cam_valid=jnp.ones(len(kfs), bool),
+        points=jnp.asarray(mp.mp_pos[pts]),
+        point_valid=jnp.ones(len(pts), bool),
+        edge_cam=jnp.asarray(e_cam, jnp.int32),
+        edge_point=jnp.asarray(e_pt, jnp.int32),
+        edge_obs=jnp.asarray(np.asarray(e_obs, np.float32)),
+        edge_octave=jnp.asarray(e_oct, jnp.int32),
+        edge_valid=jnp.ones(E, bool),
+    )
+    return prob, kfs, pts
+
+
+def solve_global_ba(prob: BAProblem, camera, inv_sigma2, n_iters: int = 10,
+                    stop_check=None, chunk: int = 2):
+    """Solve a whole-map BAProblem, returning (cam_Tcw, points) as numpy.
+
+    Solver routing: shard over the device mesh when more than one device
+    is attached (beyond-reference: the reference's GBA is single-threaded
+    g2o). Large problems take the grouped one-hot-GEMM solver (3.7x the
+    flat PCG on v5e at 1408 cams / 360k edges: 146 vs 536 ms/GN iter,
+    examples/bench_gba.py); small maps keep the flat PCG, whose jit cache
+    is warm and whose host prep is zero.
+
+    stop_check: optional callable polled between chunks of `chunk` GN
+    iterations — the TPU-native equivalent of the reference's mbStopGBA
+    flag checked between g2o iterations (LoopClosing.cc:699-712,
+    Optimizer.cc forceStopFlag). Returns None if stopped before the full
+    schedule ran (caller discards, like the reference's interrupted GBA).
+    """
+    import jax as _jax
+    E = int(prob.edge_cam.shape[0])
+    inv_sigma2 = jnp.asarray(inv_sigma2)
+    use_dist = len(_jax.devices()) > 1 and E >= 4096
+    use_grouped = E >= 4096 and not use_dist
+
+    if stop_check is None:
+        chunk = n_iters  # single fused solve
+
+    cam_Tcw, points = prob.cam_Tcw, prob.points
+    gp = None
+    done = 0
+    while done < n_iters:
+        if stop_check is not None and stop_check():
+            return None
+        it = min(chunk, n_iters - done)
+        if use_dist:
+            from ..parallel.distributed_ba_grouped import (
+                distributed_global_ba_grouped, make_grouped_mesh)
+            cam_Tcw, points = distributed_global_ba_grouped(
+                prob._replace(cam_Tcw=cam_Tcw, points=points), camera,
+                inv_sigma2, make_grouped_mesh(), n_iters=it)
+        elif use_grouped:
+            from ..optim.global_ba_grouped import (
+                group_global_problem, _solve_grouped)
+            if gp is None:
+                gp = group_global_problem(prob, inv_sigma2)
+            gp = gp._replace(cam_Tcw=jnp.asarray(cam_Tcw),
+                             points=jnp.asarray(points))
+            cam_Tcw, points, _, _ = _solve_grouped(
+                gp, camera, it, 50, 1e-5, "gemm", 1)
+        else:
+            cam_Tcw, points, _ = global_bundle_adjustment(
+                prob._replace(cam_Tcw=jnp.asarray(cam_Tcw),
+                              points=jnp.asarray(points)),
+                camera, inv_sigma2, n_iters=it)
+        done += it
+    return np.asarray(cam_Tcw), np.asarray(points)
 
 
 class LocalMapper:
@@ -52,6 +157,14 @@ class LocalMapper:
         self.inv_sigma2 = (1.0 / self.scale_factors ** 2).astype(np.float32)
         self.log_scale = float(np.log(config.orb.scale_factor))
         self.kf_counter = 0
+        # interruptible local BA (reference: mbAbortBA set by
+        # LocalMapping::InsertKeyFrame under queue pressure,
+        # LocalMapping.cc:954-957; Optimizer::LocalBundleAdjustment polls
+        # the flag between its 5-iter and 10-iter phases,
+        # Optimizer.cc:893-935). The async pipeline wires this to
+        # "keyframes waiting in the queue".
+        self.abort_ba_check = None
+        self.n_ba_aborted = 0
 
     def reset(self):
         self.recent_points.clear()
@@ -294,8 +407,8 @@ class LocalMapper:
         if mp_ids.size == 0:
             return
         cap = 8192
-        if mp_ids.size > cap:
-            mp_ids = mp_ids[:cap]
+        mp_ids = counters.keep_best_observed(mp_ids, mp.mp_n_obs, cap,
+                                             "local_mapping.fuse")
         pad = cap - mp_ids.size
         ids = np.pad(mp_ids, (0, pad))
         pvalid = np.pad(mp.mp_valid[mp_ids], (0, pad))
@@ -343,8 +456,8 @@ class LocalMapper:
         local_set = set(local)
 
         pts = mp.points_of_keyframes(np.asarray(local, np.int64))
-        if pts.size > BA_PT_CAP:
-            pts = pts[np.argsort(-mp.mp_n_obs[pts], kind="stable")[:BA_PT_CAP]]
+        pts = counters.keep_best_observed(pts, mp.mp_n_obs, BA_PT_CAP,
+                                          "local_ba.point_cap")
         pt_slot = {int(p): i for i, p in enumerate(pts)}
 
         # fixed cameras: other observers of the local points
@@ -359,21 +472,22 @@ class LocalMapper:
         cam_slot = {c: i for i, c in enumerate(cams)}
 
         e_cam, e_pt, e_obs, e_oct = [], [], [], []
+        n_edges_dropped = 0
         for pi, p in enumerate(pts):
             n = mp.mp_n_obs[p]
             for o in range(n):
                 k = int(mp.mp_obs_kf[p, o])
                 if k not in cam_slot:
                     continue
+                if len(e_cam) >= BA_EDGE_CAP:
+                    n_edges_dropped += 1
+                    continue
                 i = int(mp.mp_obs_idx[p, o])
                 e_cam.append(cam_slot[k])
                 e_pt.append(pi)
                 e_obs.append((mp.kf_xy[k, i, 0], mp.kf_xy[k, i, 1], mp.kf_ur[k, i]))
                 e_oct.append(mp.kf_octave[k, i])
-                if len(e_cam) >= BA_EDGE_CAP:
-                    break
-            if len(e_cam) >= BA_EDGE_CAP:
-                break
+        counters.truncated("local_ba.edge_cap", n_edges_dropped)
 
         E = len(e_cam)
         if E < 10:
@@ -428,8 +542,29 @@ class LocalMapper:
             edge_octave=jnp.asarray(np.pad(np.asarray(e_oct, np.int32), (0, pad_e))),
             edge_valid=jnp.asarray(np.pad(np.ones(E, bool), (0, pad_e))),
         )
-        new_cams, new_pts, inlier = local_bundle_adjustment(
-            prob, self.config.camera, jnp.asarray(self.inv_sigma2))
+        inv_s2 = jnp.asarray(self.inv_sigma2)
+        abort_check = self.abort_ba_check
+        if abort_check is None:
+            # deterministic default: one fused 5+10 dispatch
+            new_cams, new_pts, inlier = local_bundle_adjustment(
+                prob, self.config.camera, inv_s2)
+        else:
+            # interruptible schedule, exactly the reference's: run the
+            # 5-iteration robust phase, poll the abort flag, and only
+            # continue into the 10-iteration plain phase if no keyframe
+            # is waiting (Optimizer.cc:893-935 "if(pbStopFlag) if(*pbStopFlag)
+            # bDoMore = false"). Aborted BAs still write back the phase-1
+            # result, as the reference does.
+            new_cams, new_pts, inlier = local_bundle_adjustment(
+                prob, self.config.camera, inv_s2,
+                n_iters_pre=5, n_iters_post=0)
+            if abort_check():
+                self.n_ba_aborted += 1
+            else:
+                new_cams, new_pts, inlier = local_bundle_adjustment(
+                    prob._replace(cam_Tcw=new_cams, points=new_pts),
+                    self.config.camera, inv_s2,
+                    n_iters_pre=0, n_iters_post=10)
 
         new_cams = np.asarray(new_cams)
         new_pts = np.asarray(new_pts)
@@ -454,70 +589,17 @@ class LocalMapper:
     def global_ba(self, n_iters: int = 10):
         """Whole-map BA (reference: Optimizer::GlobalBundleAdjustemnt)."""
         mp = self.map
-        kfs = mp.keyframe_ids()
-        pts = mp.points_of_keyframes(kfs)
-        if pts.size == 0 or kfs.size < 2:
+        built = build_global_ba_problem(mp)
+        if built is None:
             return
-        cam_slot = {int(c): i for i, c in enumerate(kfs)}
-
-        e_cam, e_pt, e_obs, e_oct = [], [], [], []
-        for pi, p in enumerate(pts):
-            n = mp.mp_n_obs[p]
-            for o in range(n):
-                k = int(mp.mp_obs_kf[p, o])
-                if k not in cam_slot:
-                    continue
-                i = int(mp.mp_obs_idx[p, o])
-                e_cam.append(cam_slot[k])
-                e_pt.append(pi)
-                e_obs.append((mp.kf_xy[k, i, 0], mp.kf_xy[k, i, 1], mp.kf_ur[k, i]))
-                e_oct.append(mp.kf_octave[k, i])
-
-        E = len(e_cam)
-        if E < 10:
-            return
-        cam_free = np.ones(len(kfs), bool)
-        cam_free[cam_slot.get(mp.origin_kf, 0)] = False
-
-        prob = BAProblem(
-            cam_Tcw=jnp.asarray(mp.kf_Tcw[kfs]),
-            cam_free=jnp.asarray(cam_free),
-            cam_valid=jnp.ones(len(kfs), bool),
-            points=jnp.asarray(mp.mp_pos[pts]),
-            point_valid=jnp.ones(len(pts), bool),
-            edge_cam=jnp.asarray(e_cam, jnp.int32),
-            edge_point=jnp.asarray(e_pt, jnp.int32),
-            edge_obs=jnp.asarray(np.asarray(e_obs, np.float32)),
-            edge_octave=jnp.asarray(e_oct, jnp.int32),
-            edge_valid=jnp.ones(E, bool),
-        )
-        # shard over the device mesh when more than one device is attached
-        # (beyond-reference: the reference's GBA is single-threaded g2o).
-        # Large problems take the grouped one-hot-GEMM solver (3.7x the
-        # flat PCG on v5e at 1408 cams / 360k edges: 146 vs 536 ms/GN
-        # iter, examples/bench_gba.py); small maps keep the flat PCG,
-        # whose jit cache is warm and whose host prep is zero.
-        import jax as _jax
-        if len(_jax.devices()) > 1 and E >= 4096:
-            from ..parallel.distributed_ba_grouped import (
-                distributed_global_ba_grouped, make_grouped_mesh)
-            new_cams, new_pts = distributed_global_ba_grouped(
-                prob, self.config.camera, jnp.asarray(self.inv_sigma2),
-                make_grouped_mesh(), n_iters=n_iters)
-        elif E >= 4096:
-            from ..optim.global_ba_grouped import global_bundle_adjustment_grouped
-            new_cams, new_pts, _ = global_bundle_adjustment_grouped(
-                prob, self.config.camera, jnp.asarray(self.inv_sigma2),
-                n_iters=n_iters)
-        else:
-            new_cams, new_pts, _ = global_bundle_adjustment(
-                prob, self.config.camera, jnp.asarray(self.inv_sigma2),
-                n_iters=n_iters)
-        new_cams = np.asarray(new_cams)
+        prob, kfs, pts = built
+        cam_free = np.asarray(prob.cam_free)
+        new_cams, new_pts = solve_global_ba(
+            prob, self.config.camera, self.inv_sigma2, n_iters=n_iters)
         for i, c in enumerate(kfs):
             if cam_free[i]:
                 mp.kf_Tcw[c] = new_cams[i]
-        mp.mp_pos[pts] = np.asarray(new_pts)
+        mp.mp_pos[pts] = new_pts
         mp.update_normal_and_depth(pts)
 
     # ------------------------------------------------------------------

@@ -35,7 +35,8 @@ CONSISTENCY_TH = 3  # reference: mnCovisibilityConsistencyTh (LoopClosing.cc:80)
 class LoopCloser:
     def __init__(self, config: SlamConfig, map_store: MapStore,
                  voc: BinaryVocabulary, kfdb: KeyFrameDatabase,
-                 fix_scale: bool, local_mapper=None, run_global_ba: bool = True):
+                 fix_scale: bool, local_mapper=None, run_global_ba: bool = True,
+                 gba_runner=None):
         self.config = config
         self.map = map_store
         self.voc = voc
@@ -43,6 +44,9 @@ class LoopCloser:
         self.fix_scale = fix_scale
         self.local_mapper = local_mapper
         self.run_global_ba = run_global_ba
+        # transient interruptible GBA (reference: LoopClosing.cc:962-965);
+        # None falls back to a synchronous in-place global BA
+        self.gba_runner = gba_runner
         sf = config.orb.scale_factor
         self.scale_factors = np.array([sf ** i for i in range(config.orb.n_levels)], np.float32)
         self.sigma2 = (self.scale_factors ** 2).astype(np.float32)
@@ -244,6 +248,12 @@ class LoopCloser:
         """reference: LoopClosing::CorrectLoop (LoopClosing.cc:676-973)."""
         mp = self.map
 
+        # a running global BA from a previous loop is stale now: kill it
+        # before correcting (reference: LoopClosing.cc:699-712 sets
+        # mbStopGBA and joins the transient thread)
+        if self.gba_runner is not None:
+            self.gba_runner.request_stop(join=True)
+
         # corrected Sim3 of the current KF: Scw = S_cl * T_loop_w... NO:
         # S_cl maps loop-cam -> current-cam; corrected current pose is
         # Scw_corrected = S_cl^-1? — reference: mScw = gScm * Smw where
@@ -306,8 +316,14 @@ class LoopCloser:
         self.last_loop_kf = kf
         self.n_loops_closed += 1
 
-        if self.run_global_ba and self.local_mapper is not None:
-            self.local_mapper.global_ba(n_iters=10)
+        if self.run_global_ba:
+            if self.gba_runner is not None:
+                # transient GBA: solves on a snapshot without the map lock,
+                # stages results, propagates to keyframes created meanwhile
+                # (reference: LoopClosing.cc:962-965 + :1064-1234)
+                self.gba_runner.launch(n_iters=10)
+            elif self.local_mapper is not None:
+                self.local_mapper.global_ba(n_iters=10)
 
     # ------------------------------------------------------------------
 

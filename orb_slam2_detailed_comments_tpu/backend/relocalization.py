@@ -19,6 +19,7 @@ from ..solvers.pnp import solve_pnp_ransac
 from ..state.frame import FrameData
 from ..state.map_store import MapStore
 from ..utils.config import SlamConfig
+from ..utils import counters
 
 
 class Relocalizer:
@@ -106,7 +107,8 @@ class Relocalizer:
             return int(((frame.mp >= 0) & ~frame.is_outlier).sum())
         mp_ids = mp.points_of_keyframes(kf_ids)
         cap = 8192
-        mp_ids = mp_ids[:cap]
+        mp_ids = counters.keep_best_observed(mp_ids, mp.mp_n_obs, cap,
+                                             "relocalization.search_more")
         pad = cap - mp_ids.size
         ids = np.pad(mp_ids, (0, pad))
         pvalid = np.pad(np.ones(mp_ids.size, bool), (0, pad))

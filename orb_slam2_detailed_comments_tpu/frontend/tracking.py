@@ -33,6 +33,7 @@ from ..state.frame import FrameData
 from ..state.map_store import MapStore
 from ..utils.config import SlamConfig
 from ..utils.timing import StageTimer
+from ..utils import counters
 
 LOCAL_MP_CAP = 8192  # fixed device capacity for the tracking local map
 
@@ -79,6 +80,12 @@ class Tracker:
         # (reference: Tracking.cc:763-788 mlRelativeFramePoses)
         self.trajectory: list = []   # (frame_id, ts, Tcr, ref_kf, lost)
         self.localization_only = False
+        # localization-only degraded "visual odometry" state (reference:
+        # mbVO, Tracking.cc:520-624): set when motion tracking holds on few
+        # real map matches (mostly temporal points); while set, every frame
+        # runs motion tracking AND relocalization in parallel and merges
+        # whichever succeeds.
+        self.vo_mode = False
 
         # depth threshold for close/far stereo points
         self.th_depth = config.th_depth * config.camera.baseline if config.camera.bf > 0 else np.inf
@@ -90,7 +97,19 @@ class Tracker:
     def _build_frame(self, img, timestamp, n_features=0, img_right=None, depth=None) -> FrameData:
         """Frame constructor (reference: Frame.cc:53-430)."""
         cfg = self.config
-        kp: Keypoints = extract_orb(jnp.asarray(img, jnp.float32), cfg.orb, n_features)
+        if img_right is not None:
+            # L/R as one leading-axis batched dispatch (reference runs two
+            # extraction threads, Frame.cc:158-164; SURVEY.md section 2.3
+            # planned exactly this mapping).
+            from ..ops.orb import extract_orb_batch
+            pair = extract_orb_batch(
+                jnp.stack([jnp.asarray(img, jnp.float32),
+                           jnp.asarray(img_right, jnp.float32)]),
+                cfg.orb, n_features)
+            kp = Keypoints(*[a[0] for a in pair])
+            kp_r = Keypoints(*[a[1] for a in pair])
+        else:
+            kp = extract_orb(jnp.asarray(img, jnp.float32), cfg.orb, n_features)
         xy_und = np.asarray(cfg.camera.undistort_pixels(kp.xy))
         n = kp.xy.shape[0]
         ur = np.full(n, -1.0, np.float32)
@@ -98,7 +117,6 @@ class Tracker:
         valid = np.asarray(kp.valid)
 
         if img_right is not None:
-            kp_r: Keypoints = extract_orb(jnp.asarray(img_right, jnp.float32), cfg.orb, n_features)
             ur_j, dep_j = stereo_match(
                 kp, kp_r, jnp.asarray(img, jnp.float32), jnp.asarray(img_right, jnp.float32),
                 cfg.camera, cfg.orb)
@@ -173,7 +191,9 @@ class Tracker:
         with self.timer.stage("track_frame"):
             if self.state == TrackingState.OK:
                 self._check_replaced_last_frame()
-                if self.velocity is None or frame.frame_id < self.last_reloc_frame_id + 2:
+                if self.localization_only:
+                    ok = self._track_localization(frame)
+                elif self.velocity is None or frame.frame_id < self.last_reloc_frame_id + 2:
                     ok = self._track_reference_keyframe(frame)
                 else:
                     ok = self._track_with_motion_model(frame)
@@ -232,6 +252,7 @@ class Tracker:
         self.last_frame = None
         self.init_frame = None
         self.velocity = None
+        self.vo_mode = False
         self.last_kf_id = -1
         self.last_kf_frame_id = -1
         self.trajectory.clear()
@@ -383,6 +404,49 @@ class Tracker:
         frame.is_outlier = has & ~inl
         return int(inl.sum())
 
+    def _track_localization(self, frame: FrameData) -> bool:
+        """Localization-only tracking with the reference's degraded VO
+        state machine (reference: Tracking.cc:520-624).
+
+        Healthy (vo_mode off): normal motion-model / reference-KF tracking
+        on the frozen map. Degraded (vo_mode on — the last motion-model
+        track held mostly on temporal points, <10 real map matches): run
+        motion-model tracking AND relocalization on the same frame, prefer
+        the relocalization result (it re-attaches to the map and clears VO
+        mode), otherwise keep the VO estimate and credit its tracked points
+        (reference: Tracking.cc:560-624)."""
+        if not self.vo_mode:
+            if self.velocity is not None and \
+                    frame.frame_id >= self.last_reloc_frame_id + 2:
+                ok = self._track_with_motion_model(frame)
+                if not ok:
+                    ok = self._track_reference_keyframe(frame)
+                return ok
+            return self._track_reference_keyframe(frame)
+
+        # --- degraded VO: compute both, merge (reference :560-624) ---
+        ok_mm = False
+        mm_Tcw = mm_mp = mm_outlier = None
+        if self.velocity is not None:
+            ok_mm = self._track_with_motion_model(frame)
+            if ok_mm:
+                mm_Tcw = frame.Tcw.copy()
+                mm_mp = frame.mp.copy()
+                mm_outlier = frame.is_outlier.copy()
+        ok_reloc = self._relocalize(frame)
+
+        if ok_reloc:
+            self.vo_mode = False          # re-attached to the map
+        elif ok_mm:
+            frame.Tcw = mm_Tcw
+            frame.mp = mm_mp
+            frame.is_outlier = mm_outlier
+            # still in VO: credit whatever real points were tracked
+            # (reference :589-600 IncreaseFound on current matches)
+            matched = (frame.mp >= 0) & ~frame.is_outlier
+            self.map.increase_found(frame.mp[matched])
+        return ok_reloc or ok_mm
+
     def _track_reference_keyframe(self, frame: FrameData) -> bool:
         """reference: Tracking::TrackReferenceKeyFrame (Tracking.cc:1196-1270):
         BoW-restricted matching becomes a full MXU descriptor match against
@@ -507,6 +571,13 @@ class Tracker:
         frame.mp[idx[real_src[keep]]] = real_id[real_src[keep]]
         frame.is_outlier[:] = False
         n_real = int((frame.mp >= 0).sum())
+        if self.localization_only:
+            # reference: Tracking.cc:1494-1508 — in localization mode the
+            # track can survive on temporal points alone; <10 REAL map
+            # matches flips the degraded VO state, and success only needs
+            # >20 total (temporal + real) inliers.
+            self.vo_mode = n_real < 10
+            return int(inl.sum()) > 20
         return int(inl.sum()) >= 10 and n_real >= 5
 
     def _track_local_map(self, frame: FrameData) -> bool:
@@ -520,8 +591,8 @@ class Tracker:
         mp_ids = self.map.points_of_keyframes(kf_ids)
         if mp_ids.size == 0:
             return False
-        if mp_ids.size > LOCAL_MP_CAP:
-            mp_ids = mp_ids[:LOCAL_MP_CAP]
+        mp_ids = counters.keep_best_observed(
+            mp_ids, self.map.mp_n_obs, LOCAL_MP_CAP, "tracking.local_map")
         pad = LOCAL_MP_CAP - mp_ids.size
         mp_pad = np.pad(mp_ids, (0, pad))
         pvalid = np.pad(np.ones(mp_ids.size, bool), (0, pad))

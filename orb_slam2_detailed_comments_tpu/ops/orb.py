@@ -127,17 +127,17 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
     2x faster end-to-end on v5e (bench.py: 10.78 -> 5.65 ms/frame, the
     whole tracking step). ORB_DESC_ONEHOT=0 restores the gather path.
 
-    The blurred image is rounded to integers before sampling, matching the
-    reference's uchar quantization (it blurs into a uchar image and
-    GET_VALUE reads uchars, ORBextractor.cc:177-254; our float blur +
-    round-half-to-even is not bit-identical to OpenCV's fixed-point
-    half-up rounding, so half-integer blur values can differ by 1 gray
-    level — trajectory-level equivalence is what's gated, SURVEY.md
-    section 7 "hard parts"). Integers in [0, 255] are exactly
-    representable in bfloat16, so the one-hot contraction runs as a pure
-    1-pass bf16 MXU matmul (vs 6 passes under the package-wide
-    float32-precision default) with bit-exact selection semantics — the
-    descriptor stage measured 1.49 ms of the 3.36 ms frame before this.
+    Precision note (a measured accuracy regression, round-2 bisect): an
+    earlier speedup rounded the blurred image to integers (the reference's
+    uchar quantization) to make the one-hot contraction a 1-pass bf16
+    matmul. The ±0.5-gray quantization flips near-threshold BRIEF bits and
+    the noisier descriptors DOUBLED-plus long-run odometric drift (the
+    rendered lap went from <2% to ~16% of travel; the reference survives
+    uchar blur because its whole pipeline is tuned around 8-bit imagery).
+    The sampling now keeps the full float32 blur, exactly: the blur is
+    split into two bfloat16 limbs (hi + residual, error ~1e-3 gray) and
+    the one-hot rides the MXU as 2 passes instead of 6 under the
+    package-wide float32-precision default.
     """
     import os
     use_onehot = os.environ.get("ORB_DESC_ONEHOT", "1") not in ("0", "false")
@@ -148,9 +148,7 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
     py = jnp.concatenate([y0, y1])
     r = DESC_RADIUS
     psize = 2 * r + 1
-    # round the blurred image to integers (= the reference's uchar blurred
-    # image); integers <= 255 are exact in bf16, enabling the 1-pass path
-    pair = jnp.stack([raw_img, jnp.round(blurred_img)])  # (2, H, W)
+    pair = jnp.stack([raw_img, blurred_img])  # (2, H, W)
     padded = jnp.pad(pair, ((0, 0), (r, r), (r, r)), mode="edge")
     shifts = jnp.arange(32, dtype=jnp.uint32)
     iota_s = jnp.arange(psize, dtype=jnp.int32)
@@ -167,9 +165,14 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
         if use_onehot:
             row1h = (iota_s[None, :] == (dy + r)[:, None]).astype(jnp.bfloat16)
             col1h = (iota_s[None, :] == (dx + r)[:, None]).astype(jnp.float32)
-            rows = jnp.dot(row1h, blurp.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.DEFAULT)
+            # exact f32 sampling on the MXU: 2-limb bf16 split of the blur
+            # (selection one-hot is exact; hi+lo reconstructs f32 to ~1e-3)
+            hi = blurp.astype(jnp.bfloat16)
+            lo = (blurp - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            rows = (jnp.dot(row1h, hi, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+                    + jnp.dot(row1h, lo, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT))
             v = jnp.sum(rows * col1h, axis=-1)  # (512,)
         else:
             flat = blurp.reshape(-1)
@@ -201,6 +204,19 @@ def extract_orb(img, config: OrbConfig, n_features: int = 0):
     `n_features` overrides config.n_features when nonzero (the reference
     doubles the budget during monocular init, Tracking.cc:180-182).
     """
+    return _extract_orb_impl(img, config, n_features)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_features"))
+def extract_orb_batch(imgs, config: OrbConfig, n_features: int = 0):
+    """Batched extraction over a leading image axis: (B, H, W) -> Keypoints
+    with (B, ...) leading dims, ONE dispatch. The stereo frontend feeds the
+    L/R pair as B=2 — the reference instead launches two extraction threads
+    (reference: Frame.cc:158-164, SURVEY.md section 2.3's planned mapping)."""
+    return jax.vmap(lambda im: _extract_orb_impl(im, config, n_features))(imgs)
+
+
+def _extract_orb_impl(img, config: OrbConfig, n_features: int = 0):
     n_feat = int(n_features) if n_features else config.n_features
     n_levels = config.n_levels
     sf = config.scale_factor

@@ -6,10 +6,20 @@ relative-Sim3 edges over four classes — new loop connections, spanning-tree
 edges, past loop edges, strong covisibility (weight >= 100) — solved with
 Gauss-Newton. Per-edge 7x14 Jacobians come from forward-mode autodiff of
 the Sim3 log-composition error (the reference hand-copies g2o's numeric
-Jacobians); the normal system is accumulated by scatter-add into a dense
-(7K, 7K) matrix and solved with Cholesky. K is the number of keyframes in
-the graph (static cap chosen by the caller), well within dense range after
-keyframe culling.
+Jacobians).
+
+Two backends, routed by graph size (backend="auto"):
+
+  * "dense" (K <= DENSE_MAX_VERTICES): the normal system is accumulated by
+    scatter-add into a dense (7K, 7K) matrix and solved with Cholesky.
+    Exact inner solve; fine after keyframe culling at loop-test scales.
+  * "cg" (large K — KITTI-00-class keyframe counts): never materializes
+    H. Block-Jacobi-preconditioned CG on the implicit normal system; all
+    vertex<->edge data movement is k-limb bfloat16 one-hot GEMM on the MXU
+    (the same scatter/gather-free pattern optim/global_ba_grouped.py
+    proved 3.6-12x on TPU; duplicate-index scatter-adds serialize). The
+    (K, 2E) one-hot is built once per solve; a CG matvec is two GEMMs
+    (expand + reduce) plus per-edge 7x7 block products.
 
 Edge error (g2o EdgeSim3 convention): e = log(Sji . Si . Sj^-1) where Si,
 Sj are world->keyframe Sim3 and Sji the measured relative transform.
@@ -23,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.sim3 import exp_sim3, log_sim3, sim3_inverse
+from .global_ba_grouped import _oh_expand, _oh_reduce, _split_bf16
 
 
 class PoseGraphProblem(NamedTuple):
@@ -44,8 +55,8 @@ def _edge_error(xi_i, xi_j, Si, Sj, Sji):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters",))
-def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20,
-                        damping: float = 1e-8):
+def _optimize_pose_graph_dense(prob: PoseGraphProblem, n_iters: int = 20,
+                               damping: float = 1e-8):
     """Run GN on the pose graph; returns optimized (K, 4, 4) Sim3 poses."""
     K = prob.S_init.shape[0]
     zero7 = jnp.zeros(7)
@@ -91,3 +102,257 @@ def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20,
         return jax.vmap(lambda d, s: exp_sim3(d) @ s)(dx, S)
 
     return jax.lax.fori_loop(0, n_iters, body, prob.S_init)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "cg_iters"))
+def _optimize_pose_graph_cg(prob: PoseGraphProblem, anc: jnp.ndarray,
+                            n_iters: int = 20, cg_iters: int = 128,
+                            damping: float = 1e-8):
+    """Matrix-free GN in RELATIVE (spanning-tree) coordinates.
+
+    Plain block-Jacobi PCG on the absolute-pose normal system stalls on
+    pose graphs: information propagates ~1 vertex per iteration along the
+    odometry chain, so the low-frequency drift modes a loop closure must
+    fix need O(diameter) iterations (measured: wrong by meters at K=256,
+    diverging at K=1408). The classic fix is to solve for PARENT-RELATIVE
+    corrections: with x = P u, P = diag(free) @ A @ diag(free), where
+    A[k, a] = 1 iff a is an ancestor-or-self of k in the spanning tree, a
+    single relative coordinate u_a moves the whole subtree below a — the
+    long-range modes become single coordinates and Jacobi-PCG converges in
+    tens of iterations. On TPU, A rides the MXU as one (K, K) bfloat16
+    GEMM per application (entries exactly 0/1; f32 operands split into
+    limbs), and all vertex<->edge data movement is the same k-limb one-hot
+    GEMM pattern as optim/global_ba_grouped.py. No dense Hessian, no
+    duplicate-index scatters.
+
+    The preconditioner is the exact block diagonal of P^T H P, assembled
+    with three (K, E) @ (E, 49) GEMMs from the per-edge 7x7 blocks and the
+    edge-endpoint rows of P.
+    """
+    K = prob.S_init.shape[0]
+    E = prob.edge_i.shape[0]
+    zero7 = jnp.zeros(7)
+
+    err_fn = jax.vmap(_edge_error, in_axes=(None, None, 0, 0, 0))
+    Ji_fn = jax.vmap(jax.jacfwd(_edge_error, argnums=0), in_axes=(None, None, 0, 0, 0))
+    Jj_fn = jax.vmap(jax.jacfwd(_edge_error, argnums=1), in_axes=(None, None, 0, 0, 0))
+
+    free = (prob.vertex_valid & ~prob.vertex_fixed)
+    freef = free.astype(jnp.float32)[:, None]                # (K, 1)
+    # one (K, 2E) one-hot covering both endpoint roles: columns [0, E) are
+    # edge i-endpoints, [E, 2E) j-endpoints -> one GEMM per expand/reduce.
+    ends = jnp.concatenate([prob.edge_i, prob.edge_j])
+    oh = (jnp.arange(K, dtype=jnp.int32)[:, None] == ends[None, :]
+          ).astype(jnp.bfloat16)                             # (K, 2E)
+    w = jnp.where(prob.edge_valid, prob.edge_weight, 0.0)
+
+    # P = diag(free) A diag(free) as masked ancestor indicator (K, K)
+    P = anc.astype(jnp.float32) * freef * freef[:, 0][None, :]
+    Pb = P.astype(jnp.bfloat16)
+
+    def apply_P(u):
+        """x = P u, (K, 7); exact (0/1 matrix, 2-limb f32 operand)."""
+        out = None
+        for part in _split_bf16(u, 2):
+            o = jax.lax.dot_general(Pb, part, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            out = o if out is None else out + o
+        return out
+
+    def apply_Pt(x):
+        out = None
+        for part in _split_bf16(x, 2):
+            o = jax.lax.dot_general(Pb, part, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            out = o if out is None else out + o
+        return out
+
+    def expand(x, k):
+        """(K, n) -> i-cols (E, n), j-cols (E, n) in one GEMM."""
+        both = _oh_expand(oh, x.T, k)                        # (n, 2E)
+        return both[:, :E].T, both[:, E:].T
+
+    def reduce_(yi, yj, k):
+        """i-cols (E, n) + j-cols (E, n) -> (K, n) in one GEMM."""
+        return _oh_reduce(oh, jnp.concatenate([yi, yj], 0).T, k).T
+
+    def body(_, S):
+        Se_i, Se_j = expand(S.reshape(K, 16), 3)             # full-f32 poses
+        Se_i = Se_i.reshape(E, 4, 4)
+        Se_j = Se_j.reshape(E, 4, 4)
+        r = err_fn(zero7, zero7, Se_i, Se_j, prob.edge_Sji)  # (E, 7)
+        Ji = Ji_fn(zero7, zero7, Se_i, Se_j, prob.edge_Sji)  # (E, 7, 7)
+        Jj = Jj_fn(zero7, zero7, Se_i, Se_j, prob.edge_Sji)
+
+        Hii = jnp.einsum("eri,erj,e->eij", Ji, Ji, w)
+        Hjj = jnp.einsum("eri,erj,e->eij", Jj, Jj, w)
+        Hij = jnp.einsum("eri,erj,e->eij", Ji, Jj, w)
+        bi = jnp.einsum("eri,er,e->ei", Ji, r, w)
+        bj = jnp.einsum("eri,er,e->ei", Jj, r, w)
+        b = reduce_(bi, bj, 2) * freef                       # (K, 7)
+
+        # Levenberg scale from the absolute-space block diagonal
+        D = reduce_(Hii.reshape(E, 49), Hjj.reshape(E, 49), 2).reshape(K, 7, 7)
+        tr = jnp.sum(jnp.trace(D, axis1=-2, axis2=-1) * freef[:, 0])
+        nfree = jnp.maximum(jnp.sum(freef), 1.0)
+        lam = damping * tr / (7.0 * nfree) + 1e-10
+        eye7 = jnp.eye(7)
+
+        def matvec_x(x):
+            """H x + lam x on the free subspace (absolute coordinates)."""
+            xm = x * freef
+            xe_i, xe_j = expand(xm, 2)
+            yi = (jnp.einsum("eij,ej->ei", Hii, xe_i)
+                  + jnp.einsum("eij,ej->ei", Hij, xe_j))
+            yj = (jnp.einsum("eji,ej->ei", Hij, xe_i)
+                  + jnp.einsum("eij,ej->ei", Hjj, xe_j))
+            return (reduce_(yi, yj, 2) + lam * xm) * freef
+
+        def matvec_u(v):
+            return apply_Pt(matvec_x(apply_P(v)))
+
+        # exact block diagonal of P^T H P: for ancestor column a,
+        # D_u[a] = sum_e [Pi_a Hii + Pi_a Pj_a (Hij + Hij^T) + Pj_a Hjj]
+        # with Pi = P[edge_i] (E, K) 0/1 path indicators (Pi^2 = Pi).
+        Pi = jax.lax.dot_general(
+            oh[:, :E], Pb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (E, K)
+        Pj = jax.lax.dot_general(
+            oh[:, E:], Pb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        Hsym = (Hij + jnp.swapaxes(Hij, -1, -2)).reshape(E, 49)
+
+        def du_gemm(coef, blk49):
+            return jax.lax.dot_general(
+                coef.astype(jnp.bfloat16), blk49.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (K, 49)
+
+        D_u = (du_gemm(Pi, Hii.reshape(E, 49))
+               + du_gemm(Pi * Pj, Hsym)
+               + du_gemm(Pj, Hjj.reshape(E, 49))).reshape(K, 7, 7)
+        # P columns at fixed/unreached vertices are zero -> identity blocks
+        col_live = (jnp.abs(P).sum(axis=0) > 0.5)[:, None, None]
+        D_u = D_u + lam * eye7
+        D_u = jnp.where(col_live, D_u, eye7)
+        Minv = jnp.linalg.inv(D_u)
+
+        def precond(rr):
+            return jnp.einsum("kij,kj->ki", Minv, rr)
+
+        rhs = -apply_Pt(b)
+        x0 = jnp.zeros_like(rhs)
+        z0 = precond(rhs)
+
+        def cg_body(_, st):
+            x, rr, z, p, rz = st
+            Ap = matvec_u(p)
+            pAp = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = precond(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            p = z + beta * p
+            return x, rr, z, p, rz_new
+
+        st = (x0, rhs, z0, z0, jnp.sum(rhs * z0))
+        u = jax.lax.fori_loop(0, cg_iters, cg_body, st)[0]
+        dx = apply_P(u) * freef
+        # GN safeguarding: an inexact CG step on a hard graph can overshoot;
+        # cap the largest per-vertex tangent step (rotation+scale part) so
+        # exp stays in its domain of validity. Pure scaling, no branching.
+        step = jnp.sqrt(jnp.sum(dx * dx, axis=1))
+        smax = jnp.max(step)
+        scale = jnp.where(smax > 1.0e1, 1.0e1 / smax, 1.0)
+        dx = dx * scale
+        return jax.vmap(lambda d, s: exp_sim3(d) @ s)(dx, S)
+
+    return jax.lax.fori_loop(0, n_iters, body, prob.S_init)
+
+
+def _ancestor_matrix(parent: "np.ndarray", K: int) -> "np.ndarray":
+    """(K, K) bool: anc[k, a] = a is an ancestor-or-self of k. Host-side,
+    tolerant of unordered ids and broken chains (unresolved nodes become
+    roots after K passes)."""
+    import numpy as np
+    anc = np.zeros((K, K), bool)
+    done = np.zeros(K, bool)
+    parent = np.asarray(parent)
+    roots = (parent < 0) | (parent >= K) | (parent == np.arange(K))
+    for k in np.nonzero(roots)[0]:
+        anc[k, k] = True
+        done[k] = True
+    for _ in range(K):
+        todo = np.nonzero(~done)[0]
+        if todo.size == 0:
+            break
+        progress = False
+        for k in todo:
+            p = parent[k]
+            if done[p]:
+                anc[k] = anc[p]
+                anc[k, k] = True
+                done[k] = True
+                progress = True
+        if not progress:
+            for k in np.nonzero(~done)[0]:  # cycle fallback: self-rooted
+                anc[k, k] = True
+                done[k] = True
+            break
+    return anc
+
+
+def _spanning_tree_from_edges(prob: PoseGraphProblem) -> "np.ndarray":
+    """BFS parents over the edge list, rooted at the fixed vertices (or
+    vertex 0). Used when the caller has no spanning tree at hand."""
+    import numpy as np
+    K = prob.S_init.shape[0]
+    ei = np.asarray(prob.edge_i)
+    ej = np.asarray(prob.edge_j)
+    ev = np.asarray(prob.edge_valid)
+    adj = [[] for _ in range(K)]
+    for a, b in zip(ei[ev], ej[ev]):
+        adj[int(a)].append(int(b))
+        adj[int(b)].append(int(a))
+    parent = np.full(K, -1, np.int64)
+    seen = np.zeros(K, bool)
+    fixed = np.asarray(prob.vertex_fixed)
+    queue = list(np.nonzero(fixed)[0]) or [0]
+    for q in queue:
+        seen[q] = True
+    while queue:
+        a = queue.pop(0)
+        for b in adj[a]:
+            if not seen[b]:
+                seen[b] = True
+                parent[b] = a
+                queue.append(b)
+    return parent
+
+
+DENSE_MAX_VERTICES = 256  # dense (7K,7K) Cholesky fine up to here
+
+
+def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20,
+                        damping: float = 1e-8, backend: str = "auto",
+                        cg_iters: int = 0, parent=None):
+    """Optimize the essential graph; returns (K, 4, 4) Sim3 poses.
+
+    backend="auto" routes small graphs to the exact dense Cholesky solver
+    and KITTI-00-class graphs (K > DENSE_MAX_VERTICES) to the matrix-free
+    PCG solver in spanning-tree-relative coordinates (see
+    _optimize_pose_graph_cg). `parent` is the spanning tree (parent[k] < 0
+    for roots); if absent, a BFS tree over the edges is used."""
+    K = prob.S_init.shape[0]
+    if backend == "auto":
+        backend = "dense" if K <= DENSE_MAX_VERTICES else "cg"
+    if backend == "dense":
+        return _optimize_pose_graph_dense(prob, n_iters, damping)
+    if parent is None:
+        parent = _spanning_tree_from_edges(prob)
+    anc = jnp.asarray(_ancestor_matrix(parent, K))
+    if not cg_iters:
+        cg_iters = int(min(max(K // 4, 64), 512))
+    return _optimize_pose_graph_cg(prob, anc, n_iters, cg_iters, damping)

@@ -32,6 +32,45 @@ from .place.vocabulary import BinaryVocabulary
 from .state.map_store import MapStore
 from .utils.config import SlamConfig, load_settings_yaml
 
+# Shipped default vocabulary (reference: src/System.cc:78-94 always loads a
+# pre-trained ORBvoc.txt). Trained offline on diverse rendered imagery by
+# examples/train_default_vocabulary.py; loaded once per process.
+DEFAULT_VOCAB_PATH = os.path.join(os.path.dirname(__file__), "data",
+                                  "default_vocab.npz")
+_default_vocab_cache = None
+
+
+def load_default_vocabulary():
+    """The shipped k-ary tree vocabulary, or None if the package data file
+    is absent (then System falls back to online self-training)."""
+    global _default_vocab_cache
+    if _default_vocab_cache is None and os.path.exists(DEFAULT_VOCAB_PATH):
+        from .place.vocabulary_tree import TreeVocabulary
+        _default_vocab_cache = TreeVocabulary.load(DEFAULT_VOCAB_PATH)
+    return _default_vocab_cache
+
+
+class _KeyFrameIndexer:
+    """Indexes every new keyframe into the KeyFrameDatabase when loop
+    closing is disabled. In the reference the LoopClosing thread performs
+    this add unconditionally (LoopClosing.cc:378-380 mpKeyFrameDB->add in
+    DetectLoop); relocalization depends on the inverted index regardless
+    of whether loops are being closed, so the index must be maintained
+    either way."""
+
+    def __init__(self, map_store, voc, kfdb):
+        self.map = map_store
+        self.voc = voc
+        self.kfdb = kfdb
+
+    def on_new_keyframe(self, kf: int):
+        _, bow = self.voc.transform(self.map.kf_desc[kf],
+                                    self.map.kf_kp_valid[kf])
+        self.kfdb.add(int(kf), bow)
+
+    def reset(self):
+        self.kfdb.clear()
+
 
 class System:
     def __init__(self, config: SlamConfig, sensor: Sensor,
@@ -45,9 +84,17 @@ class System:
         self.async_mapping = async_mapping
         self._map_lock = threading.RLock() if async_mapping else contextlib.nullcontext()
 
-        # Vocabulary: pre-trained if provided, else self-trained online from
-        # the first keyframes' descriptors (the reference instead loads a
-        # ~140MB offline ORBvoc.txt, System.cc:78-94).
+        # Vocabulary resolution order (reference loads a pre-trained
+        # ORBvoc.txt unconditionally, System.cc:78-94):
+        #   1. an explicit instance passed by the caller
+        #   2. the SHIPPED default tree vocabulary (package data, trained
+        #      offline by examples/train_default_vocabulary.py)
+        #   3. vocabulary="online": self-train from the first keyframes'
+        #      descriptors (also the fallback when the data file is absent)
+        if vocabulary is None:
+            vocabulary = load_default_vocabulary()
+        elif vocabulary == "online":
+            vocabulary = None
         self.voc = vocabulary
         self.kfdb: Optional[KeyFrameDatabase] = None
         self.loop_closer: Optional[LoopCloser] = None
@@ -62,11 +109,21 @@ class System:
         if async_mapping:
             from .backend.async_pipeline import AsyncLocalMapper
             self.local_mapper = AsyncLocalMapper(self.local_mapper, self._map_lock)
+        # transient interruptible global BA (reference spawns a GBA thread
+        # from LoopClosing, LoopClosing.cc:962-965; here the runner solves
+        # on a lock-free snapshot and merges staged results — in async mode
+        # on its own transient thread, the reference topology)
+        from .backend.gba_runner import GlobalBARunner
+        self.gba_runner = GlobalBARunner(config, self.map, self._map_lock,
+                                         async_mode=async_mapping)
         if self.voc is not None:
             self._wire_place_recognition()
+        # NOTE: _wire_place_recognition may run before the tracker exists
+        # (pre-trained vocabulary) or after (online self-training) — wire
+        # the relocalizer on both paths.
         self.tracker = Tracker(config, self.map, sensor,
                                local_mapper=self.local_mapper,
-                               relocalizer=None)
+                               relocalizer=self.relocalizer)
         self.tracker.map_lock = self._map_lock
 
     # ------------------------------------------------------------------
@@ -83,8 +140,18 @@ class System:
                 self.config, self.map, self.voc, self.kfdb,
                 fix_scale=(self.sensor != Sensor.MONOCULAR),
                 local_mapper=self.local_mapper,
-                run_global_ba=self._enable_gba)
+                run_global_ba=self._enable_gba,
+                gba_runner=self.gba_runner)
             self.local_mapper.loop_closer = self.loop_closer
+        else:
+            # keep the relocalization inverted index fed even without a
+            # loop closer (the reference's LoopClosing thread does the
+            # KeyFrameDatabase::add for every keyframe unconditionally)
+            self.local_mapper.loop_closer = _KeyFrameIndexer(
+                self.map, self.voc, self.kfdb)
+            # index keyframes that already exist at wire time
+            for k in self.map.keyframe_ids():
+                self.local_mapper.loop_closer.on_new_keyframe(int(k))
         if hasattr(self, "tracker"):
             self.tracker.relocalizer = self.relocalizer
 
@@ -139,17 +206,22 @@ class System:
 
     def deactivate_localization_mode(self):
         self.tracker.localization_only = False
+        self.tracker.vo_mode = False
 
     def reset(self):
         self.tracker.reset()
         if self.loop_closer is not None:
             self.loop_closer.reset()
+        elif self.kfdb is not None:
+            self.kfdb.clear()
 
     def shutdown(self):
-        """Join the mapping worker if async (reference: System::Shutdown,
-        System.cc:444-473)."""
+        """Join the mapping worker + any running transient GBA if async
+        (reference: System::Shutdown waits on all threads incl. a running
+        global BA, System.cc:444-473)."""
         if self.async_mapping and hasattr(self.local_mapper, "shutdown"):
             self.local_mapper.shutdown()
+        self.gba_runner.wait(timeout=120.0)
 
     # ------------------------------------------------------------------
     # introspection (reference: GetTrackingState/GetTrackedMapPoints)
@@ -188,6 +260,7 @@ class System:
         data = dict(np.load(path, allow_pickle=False))
         self.map = MapStore.restore(self.config, data)
         self.local_mapper.map = self.map
+        self.gba_runner.map = self.map
         self.tracker.map = self.map
         if self.relocalizer is not None:
             self.relocalizer.map = self.map

@@ -23,17 +23,43 @@ class FrameDrawer:
         self.config = config
 
     def draw(self, img: np.ndarray, frame, state_text: str = "") -> np.ndarray:
-        """img: (H, W) grayscale; frame: FrameData. Returns (H, W, 3) uint8."""
+        """img: (H, W) grayscale; frame: FrameData. Returns (H+banner, W, 3)
+        uint8: annotated keypoints plus a status banner rasterized below
+        the image (reference: FrameDrawer::DrawTextInfo appends a text
+        strip under the frame, FrameDrawer.cc:168-226)."""
         rgb = np.stack([img, img, img], axis=-1).astype(np.uint8)
+        n_matched = 0
         if frame is not None and frame.mp is not None:
             matched = (frame.mp >= 0) & ~frame.is_outlier & frame.valid
+            n_matched = int(matched.sum())
             for i in np.nonzero(frame.valid)[0]:
                 x, y = int(frame.xy[i, 0]), int(frame.xy[i, 1])
                 if not (0 <= x < img.shape[1] and 0 <= y < img.shape[0]):
                     continue
                 color = (0, 255, 0) if matched[i] else (70, 70, 255)
                 self._cross(rgb, x, y, color)
-        return rgb
+        if not state_text:
+            state_text = f"MATCHES: {n_matched}"
+        return self._with_banner(rgb, state_text)
+
+    @staticmethod
+    def status_text(system) -> str:
+        """Reference banner content (FrameDrawer.cc:168-226): tracking
+        state + map statistics + current matches."""
+        st = system.tracking_state.name.replace("_", " ")
+        loc = " + LOC" if system.tracker.localization_only else ""
+        vo = " VO" if getattr(system.tracker, "vo_mode", False) else ""
+        return (f"{st}{loc}{vo}  KFS: {system.map.n_keyframes()}  "
+                f"MPS: {system.map.n_map_points()}  "
+                f"MATCHES: {system.n_tracked_points()}")
+
+    @staticmethod
+    def _with_banner(rgb: np.ndarray, text: str) -> np.ndarray:
+        from .bitmap_font import draw_text
+        h, w = rgb.shape[:2]
+        banner = np.zeros((15, w, 3), np.uint8)
+        draw_text(banner, 4, 4, text, color=(255, 255, 255))
+        return np.concatenate([rgb, banner], axis=0)
 
     @staticmethod
     def _cross(rgb, x, y, color, r=2):

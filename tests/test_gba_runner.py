@@ -1,0 +1,207 @@
+"""Transient/interruptible global BA + local-BA abort (reference:
+LoopClosing.cc:962-965/:699-712/:1064-1234, LocalMapping.cc:954-957).
+
+Covers the round-2 concurrency contract:
+  * staged GBA results propagate through the spanning tree to keyframes
+    (and re-anchor map points) created WHILE the solve ran
+  * a new loop kills a running GBA; the interrupted result is discarded
+  * the map lock stays available while an async GBA solves (tracking is
+    not blocked)
+  * local BA skips its second phase under queue pressure
+"""
+import contextlib
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from orb_slam2_detailed_comments_tpu.backend.gba_runner import GlobalBARunner
+from orb_slam2_detailed_comments_tpu.backend.local_mapping import (
+    LocalMapper, build_global_ba_problem, solve_global_ba)
+
+from test_loop_closing import build_drifted_loop
+
+
+def _runner(cfg, ms, async_mode=False, lock=None):
+    return GlobalBARunner(cfg, ms, lock if lock is not None
+                          else contextlib.nullcontext(), async_mode=async_mode)
+
+
+class TestSyncEquivalence:
+    def test_inline_runner_matches_direct_global_ba(self):
+        cfg, ms_a, gt, est = build_drifted_loop(seed=3)
+        cfg2, ms_b, _, _ = build_drifted_loop(seed=3)
+        mapper = LocalMapper(cfg, ms_a, monocular=True)
+        mapper.global_ba(n_iters=10)
+        _runner(cfg2, ms_b).launch(n_iters=10)
+        kfs = ms_a.keyframe_ids()
+        np.testing.assert_allclose(ms_a.kf_Tcw[kfs], ms_b.kf_Tcw[kfs],
+                                   atol=1e-4)
+        valid = ms_a.mp_valid & ms_b.mp_valid
+        np.testing.assert_allclose(ms_a.mp_pos[valid], ms_b.mp_pos[valid],
+                                   atol=1e-4)
+
+
+class TestStagedPropagation:
+    def test_new_keyframe_and_point_ride_the_correction(self):
+        """Keyframes/points created between snapshot and merge get the
+        reference's mTcwGBA spanning-tree treatment (LoopClosing.cc:
+        1128-1223): child pose = relative-to-parent composed with the
+        parent's corrected pose; new points re-anchored via their ref KF."""
+        cfg, ms, gt, est = build_drifted_loop(seed=5)
+        runner = _runner(cfg, ms)
+        snap = runner._snapshot()
+        assert snap is not None
+
+        # simulate concurrent map growth: clone the last KF as a child
+        # with a known relative pose, and hang a fresh point off it
+        parent = int(ms.keyframe_ids()[-1])
+        from orb_slam2_detailed_comments_tpu.state.frame import FrameData
+        kp_cap = cfg.orb.max_keypoints
+        rel = np.eye(4, dtype=np.float32)
+        rel[:3, 3] = [0.05, 0.0, 0.1]
+        child_pose = (rel @ ms.kf_Tcw[parent]).astype(np.float32)
+        frame = FrameData(
+            frame_id=999, timestamp=99.0,
+            xy=np.zeros((kp_cap, 2), np.float32),
+            response=np.zeros(kp_cap, np.float32),
+            octave=np.zeros(kp_cap, np.int32),
+            angle=np.zeros(kp_cap, np.float32),
+            desc=np.zeros((kp_cap, 8), np.uint32),
+            valid=np.zeros(kp_cap, bool),
+            ur=np.full(kp_cap, -1.0, np.float32),
+            depth=np.full(kp_cap, -1.0, np.float32),
+            Tcw=child_pose.copy(),
+        )
+        child = ms.add_keyframe(frame)
+        ms.parent[child] = parent
+        pos_w = np.array([0.3, -0.2, 5.0], np.float32)  # in front of child
+        Twc = np.linalg.inv(child_pose)
+        pw = (Twc[:3, :3] @ pos_w + Twc[:3, 3]).astype(np.float32)
+        new_pt = ms.add_map_point(pw, child)
+        ms.add_observation(new_pt, child, 0)
+        pc_before = child_pose[:3, :3] @ ms.mp_pos[new_pt] + child_pose[:3, 3]
+
+        result = solve_global_ba(snap["prob"], cfg.camera, runner.inv_sigma2,
+                                 n_iters=10)
+        runner._merge(snap, *result)
+
+        # child pose must be rel composed with the parent's NEW pose
+        expect = rel @ ms.kf_Tcw[parent]
+        np.testing.assert_allclose(ms.kf_Tcw[child], expect, atol=1e-5)
+        # the new point must be rigidly carried: camera-frame position in
+        # its (corrected) anchor keyframe unchanged
+        pc_after = ms.kf_Tcw[child][:3, :3] @ ms.mp_pos[new_pt] \
+            + ms.kf_Tcw[child][:3, 3]
+        np.testing.assert_allclose(pc_after, pc_before, atol=1e-4)
+
+    def test_recycled_point_slot_is_not_clobbered(self):
+        """A snapshot point erased + slot-recycled during the solve must
+        NOT receive the staged position (first-KF identity check)."""
+        cfg, ms, gt, est = build_drifted_loop(seed=6)
+        runner = _runner(cfg, ms)
+        snap = runner._snapshot()
+        victim = int(snap["pts"][10])
+        ms.erase_map_point(victim)
+        reborn = ms.add_map_point(np.array([9.0, 9.0, 9.0], np.float32),
+                                  int(ms.keyframe_ids()[-1]),
+                                  first_kf=int(ms.keyframe_ids()[-1]))
+        assert reborn == victim  # free-list recycles the slot
+        result = solve_global_ba(snap["prob"], cfg.camera, runner.inv_sigma2,
+                                 n_iters=4)
+        pos_before = ms.mp_pos[reborn].copy()
+        runner._merge(snap, *result)
+        # the reborn point was re-anchored via its (corrected) ref KF, not
+        # overwritten with the dead point's staged position
+        staged = result[1][10]
+        assert not np.allclose(ms.mp_pos[reborn], staged, atol=1e-3) or \
+            np.allclose(staged, pos_before, atol=1e-3)
+
+
+class TestInterruption:
+    def test_new_loop_kills_running_gba(self):
+        cfg, ms, gt, est = build_drifted_loop(seed=7)
+        lock = threading.RLock()
+        runner = _runner(cfg, ms, async_mode=True, lock=lock)
+        release = threading.Event()
+        runner._chunk_hook = lambda: release.wait(5.0)
+        poses_before = ms.kf_Tcw.copy()
+
+        runner.launch(n_iters=10)
+        assert runner.running()
+        # the next loop arrives: kill it (reference LoopClosing.cc:699-712)
+        runner.request_stop(join=False)
+        release.set()
+        runner.wait(timeout=30.0)
+        assert not runner.running()
+        assert runner.n_aborted == 1 and runner.n_completed == 0
+        # interrupted results are discarded
+        np.testing.assert_array_equal(ms.kf_Tcw, poses_before)
+
+    def test_map_lock_available_while_gba_runs(self):
+        """Tracking-side latency: acquiring the map lock while an async GBA
+        solves must not wait for the solve (the solve never holds it)."""
+        cfg, ms, gt, est = build_drifted_loop(seed=8)
+        lock = threading.RLock()
+        runner = _runner(cfg, ms, async_mode=True, lock=lock)
+        slow = threading.Event()
+        runner._chunk_hook = lambda: slow.wait(0.25) and None
+        runner.launch(n_iters=10)
+        try:
+            assert runner.running()
+            waits = []
+            deadline = time.monotonic() + 10.0
+            while runner.running() and len(waits) < 20 \
+                    and time.monotonic() < deadline:
+                t0 = time.monotonic()
+                with lock:
+                    pass
+                waits.append(time.monotonic() - t0)
+                time.sleep(0.01)
+            assert waits, "GBA finished before any lock probe"
+            # p95 lock wait must be far below the per-chunk stall (0.25 s)
+            assert np.percentile(waits, 95) < 0.1, waits
+        finally:
+            runner.request_stop(join=False)
+            slow.set()
+            runner.wait(timeout=30.0)
+        assert runner.n_completed + runner.n_aborted == 1
+
+    def test_completes_and_merges_when_not_interrupted(self):
+        cfg, ms, gt, est = build_drifted_loop(seed=9)
+        lock = threading.RLock()
+        runner = _runner(cfg, ms, async_mode=True, lock=lock)
+        poses_before = ms.kf_Tcw.copy()
+        runner.launch(n_iters=6)
+        runner.wait(timeout=120.0)
+        assert runner.n_completed == 1
+        assert not np.allclose(ms.kf_Tcw[ms.kf_valid],
+                               poses_before[ms.kf_valid])
+
+
+class TestLocalBAAbort:
+    def test_abort_skips_second_phase(self):
+        cfg, ms, gt, est = build_drifted_loop(seed=10)
+        mapper = LocalMapper(cfg, ms, monocular=True)
+        kf = int(ms.keyframe_ids()[-2])
+        calls = {"n": 0}
+
+        def pressure():
+            calls["n"] += 1
+            return True  # a keyframe is always waiting
+
+        mapper.abort_ba_check = pressure
+        mapper.local_ba(kf)
+        assert mapper.n_ba_aborted == 1
+        # the flag is polled exactly once, between the 5-iter robust phase
+        # and the (skipped) 10-iter plain phase
+        assert calls["n"] == 1
+
+    def test_no_pressure_runs_full_schedule(self):
+        cfg, ms, gt, est = build_drifted_loop(seed=11)
+        mapper = LocalMapper(cfg, ms, monocular=True)
+        kf = int(ms.keyframe_ids()[-2])
+        mapper.abort_ba_check = lambda: False
+        mapper.local_ba(kf)
+        assert mapper.n_ba_aborted == 0

@@ -32,26 +32,6 @@ N_FRAMES = 120
 OVERLAP = 32
 
 
-def make_vocabulary(world, poses):
-    """Offline-trained vocabulary from views spread around the lap — the
-    reference always runs with a large pre-trained ORBvoc.txt
-    (System.cc:78-94); a vocabulary self-trained on the first keyframes only
-    covers the lap-start appearance and quantizes the rest of the lap
-    poorly, making BoW scores non-discriminative."""
-    import jax.numpy as jnp
-    from orb_slam2_detailed_comments_tpu.ops.orb import extract_orb
-    from orb_slam2_detailed_comments_tpu.place.vocabulary import BinaryVocabulary
-    from orb_slam2_detailed_comments_tpu.utils.config import OrbConfig
-
-    orb = OrbConfig(n_features=600, max_keypoints=1024)
-    descs = []
-    for i in range(0, len(poses), len(poses) // 8):
-        kp = extract_orb(jnp.asarray(world.render(poses[i])), orb)
-        descs.append(np.asarray(kp.desc)[np.asarray(kp.valid)])
-    train = np.concatenate(descs, axis=0)
-    return BinaryVocabulary.train(train, n_words=1024, n_iters=3)
-
-
 def run_loop_lap():
     # fx=180 -> 83 deg FOV: adjacent keyframes keep real view overlap under
     # the lap's yaw rate; path_radius=4 vs wall radius 8 gives a wide 1/z
@@ -70,9 +50,18 @@ def run_loop_lap():
                              width=320, height=240, bf=180.0 * 0.5),
         orb=OrbConfig(n_features=600, max_keypoints=1024),
         fps=10.0, max_keyframes=150, max_map_points=40000)
+    # vocabulary: the SHIPPED default tree vocabulary (trained offline on
+    # diverse rendered imagery, examples/train_default_vocabulary.py) —
+    # exactly the reference's workflow of always loading a pre-trained
+    # ORBvoc (System.cc:78-94). No per-test vocabulary training.
+    # full production loop path incl. the post-correction global BA
+    # (reference: CorrectLoop always spawns RunGlobalBundleAdjustment,
+    # LoopClosing.cc:962-965; round 1 disabled it for speed, which left
+    # ~0.6 m of residual intra-lap wobble after the essential graph)
     slam = System(cfg, Sensor.RGBD, enable_loop_closing=True,
-                  enable_global_ba_on_loop=False,
-                  vocabulary=make_vocabulary(world, poses))
+                  enable_global_ba_on_loop=True)
+    from orb_slam2_detailed_comments_tpu.place.vocabulary_tree import TreeVocabulary
+    assert isinstance(slam.voc, TreeVocabulary), "default vocab not loaded"
 
     est, gt, states = [], [], []
     for i in range(N_FRAMES):
@@ -83,7 +72,20 @@ def run_loop_lap():
         if Tcw is not None and slam.tracking_state == TrackingState.OK:
             est.append(np.linalg.inv(Tcw)[:3, 3])
             gt.append(-poses[i, :3, :3].T @ poses[i, :3, 3])
-    return slam, np.asarray(est), np.asarray(gt), states
+    # accuracy is judged on the EXPORTED trajectory, the reference's
+    # evaluation model (System::SaveTrajectoryTUM recomputes every frame
+    # from its corrected reference keyframe, System.cc:476-581 — published
+    # ATE numbers benefit retroactively from loop corrections; live
+    # per-frame poses keep pre-loop drift forever)
+    from orb_slam2_detailed_comments_tpu.io.trajectory import (
+        recover_frame_trajectory)
+    rec = recover_frame_trajectory(slam.tracker.trajectory, slam.map)
+    est_rec, gt_rec = [], []
+    for frame_id, _, Tcw in rec:
+        est_rec.append(np.linalg.inv(Tcw)[:3, 3])
+        gt_rec.append(-poses[frame_id, :3, :3].T @ poses[frame_id, :3, 3])
+    return (slam, np.asarray(est), np.asarray(gt), states,
+            np.asarray(est_rec), np.asarray(gt_rec))
 
 
 class TestLoopLap:
@@ -92,13 +94,13 @@ class TestLoopLap:
         return run_loop_lap()
 
     def test_tracks_the_whole_lap(self, result):
-        slam, est, gt, states = result
+        slam, est, gt, states, est_rec, gt_rec = result
         n_ok = sum(s == TrackingState.OK for s in states)
         assert n_ok >= N_FRAMES - 5, f"only {n_ok}/{N_FRAMES} tracked"
         assert states[-1] == TrackingState.OK
 
     def test_loop_reconnects_the_map(self, result):
-        slam, est, gt, states = result
+        slam, est, gt, states, est_rec, gt_rec = result
         ms = slam.map
         kfs = sorted(int(k) for k in ms.keyframe_ids())
         assert len(kfs) >= 8
@@ -116,13 +118,19 @@ class TestLoopLap:
             f"{ {k: list(map(int, ms.get_covisible(int(k), 30))) for k in late} })")
 
     def test_ate_bounded_after_lap(self, result):
-        slam, est, gt, states = result
+        slam, est, gt, states, est_rec, gt_rec = result
         travel = 2 * np.pi * 4.0  # one lap of radius 4
-        ate = ate_rmse(est, gt, with_scale=False)
+        # exported-trajectory ATE (the reference's evaluation model:
+        # per-frame poses recomputed from corrected keyframes)
+        ate = ate_rmse(est_rec, gt_rec, with_scale=False)
         assert ate < 0.02 * travel, f"ATE {ate:.4f} m over {travel:.2f} m travel"
+        # live per-frame poses carry pre-correction drift by construction;
+        # sanity-bound them loosely (odometry did not explode)
+        ate_live = ate_rmse(est, gt, with_scale=False)
+        assert ate_live < 0.10 * travel, f"live ATE {ate_live:.4f} m"
 
     def test_map_stays_bounded(self, result):
-        slam, est, gt, states = result
+        slam, est, gt, states, est_rec, gt_rec = result
         # culling must keep the keyframe count well under one per frame
         assert slam.map.n_keyframes() < N_FRAMES
         assert slam.map.n_map_points() < 40000

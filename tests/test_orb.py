@@ -238,9 +238,13 @@ class TestPallasFast:
 class TestOnehotDescriptorPath:
     def test_onehot_matches_gather_path(self, monkeypatch):
         """ORB_DESC_ONEHOT=1 replaces the per-keypoint 512-point patch
-        gather with a one-hot row/column MXU contraction; the sampled values
-        round-trip through exact small-integer float arithmetic, so the
-        descriptor bits and angles must be IDENTICAL to the gather path."""
+        gather with a one-hot row/column MXU contraction sampling the f32
+        blur via a 2-limb bfloat16 split (error ~1e-3 gray). BRIEF bits
+        may flip only on near-exact intensity ties: descriptors must agree
+        within 2/256 bits, angles exactly (angles use the raw image, not
+        the limb-split path). (An earlier 1-pass variant quantized the
+        blur to integers for bf16 exactness — bisected as the cause of a
+        long-run drift regression, see ops/orb.py precision note.)"""
         from orb_slam2_detailed_comments_tpu.ops.orb import (
             _fused_level_angles_descriptors)
         from orb_slam2_detailed_comments_tpu.ops.pyramid import gaussian_blur
@@ -259,5 +263,49 @@ class TestOnehotDescriptorPath:
         ang1, desc1 = _fused_level_angles_descriptors(
             img, blurred, jnp.asarray(xy), jnp.asarray(valid))
 
-        assert np.array_equal(np.asarray(desc0), np.asarray(desc1))
+        d0 = np.asarray(desc0)
+        d1 = np.asarray(desc1)
+        ham = np.bitwise_count(np.bitwise_xor(d0, d1)).sum(-1)
+        assert ham.max() <= 2, f"max hamming {ham.max()}"
+        assert (ham == 0).mean() >= 0.9, f"only {(ham == 0).mean():.2%} identical"
         assert np.allclose(np.asarray(ang0), np.asarray(ang1))
+
+
+class TestBatchedExtraction:
+    """extract_orb_batch (one L/R dispatch, reference: Frame.cc:158-164
+    two-thread extraction) must agree elementwise with per-image calls."""
+
+    def test_batch_matches_single(self):
+        import jax.numpy as jnp
+        from orb_slam2_detailed_comments_tpu.ops.orb import (
+            extract_orb, extract_orb_batch)
+        from orb_slam2_detailed_comments_tpu.utils.config import OrbConfig
+
+        rng = np.random.default_rng(17)
+        imgs = []
+        for s in range(2):
+            img = np.full((120, 160), 40.0, np.float32)
+            ys = rng.integers(5, 110, 400)
+            xs = rng.integers(5, 150, 400)
+            for y, x in zip(ys, xs):
+                img[y:y + 4, x:x + 4] = rng.uniform(60, 250)
+            imgs.append(img)
+        orb = OrbConfig(n_features=200, max_keypoints=256)
+        batch = extract_orb_batch(jnp.asarray(np.stack(imgs)), orb)
+        for b in range(2):
+            single = extract_orb(jnp.asarray(imgs[b]), orb)
+            valid = np.asarray(single.valid)
+            np.testing.assert_array_equal(np.asarray(batch.valid[b]), valid)
+            # vmap changes XLA fusion, which can flip float tie-breaks in
+            # the sub-pixel quadratic fit (|den| ~ threshold): allow 0.5px
+            # on isolated keypoints, demand near-total exact agreement.
+            bx = np.asarray(batch.xy[b])[valid]
+            sx = np.asarray(single.xy)[valid]
+            np.testing.assert_allclose(bx, sx, atol=0.5)
+            assert (np.abs(bx - sx).max(-1) < 1e-4).mean() > 0.95
+            bd = np.asarray(batch.desc[b])[valid]
+            sd = np.asarray(single.desc)[valid]
+            assert (bd == sd).all(-1).mean() > 0.95
+            ba = np.asarray(batch.angle[b])[valid]
+            sa = np.asarray(single.angle)[valid]
+            assert (np.abs(ba - sa) < 1e-3).mean() > 0.95

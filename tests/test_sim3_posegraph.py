@@ -81,6 +81,80 @@ class TestOptimizeSim3:
         assert int(res.n_inliers) > 90
 
 
+def _circle_problem(Kn, seed=7, drift=0.02, n_covis=0):
+    """Drifted odometry chain around a circle with one loop edge (and
+    optional covisibility shortcut edges every 4 vertices). Returns
+    (prob, S_true, S_est)."""
+    rng = np.random.default_rng(seed)
+    S_true = []
+    for i in range(Kn):
+        ang = 2 * np.pi * i / Kn
+        R = np.asarray(exp_so3(jnp.asarray([0.0, ang, 0.0], dtype=jnp.float32)))
+        C = np.array([np.sin(ang), 0.0, 1.0 - np.cos(ang)], np.float32) * 3.0
+        t = -R @ C
+        S_true.append(np.asarray(make_sim3(jnp.asarray(R), jnp.asarray(t), jnp.asarray(1.0))))
+    S_true = np.stack(S_true)
+
+    def rel(i, j):
+        return S_true[j] @ np.asarray(sim3_inverse(jnp.asarray(S_true[i])))
+
+    S_est = [S_true[0]]
+    for i in range(1, Kn):
+        noise = np.asarray(exp_sim3(jnp.asarray(
+            np.concatenate([rng.normal(0, drift, 6), [rng.normal(0, drift / 2)]]),
+            dtype=jnp.float32)))
+        S_est.append(noise @ rel(i - 1, i) @ S_est[i - 1])
+    S_est = np.stack(S_est)
+
+    e_i, e_j, e_S = [], [], []
+    for i in range(Kn - 1):
+        e_i.append(i); e_j.append(i + 1); e_S.append(rel(i, i + 1))
+    e_i.append(Kn - 1); e_j.append(0); e_S.append(rel(Kn - 1, 0))
+    for i in range(0, Kn - 4, 4)[:n_covis]:
+        e_i.append(i); e_j.append(i + 4); e_S.append(rel(i, i + 4))
+    E = len(e_i)
+    prob = PoseGraphProblem(
+        S_init=jnp.asarray(S_est),
+        vertex_fixed=jnp.asarray([True] + [False] * (Kn - 1)),
+        vertex_valid=jnp.ones(Kn, bool),
+        edge_i=jnp.asarray(e_i, jnp.int32),
+        edge_j=jnp.asarray(e_j, jnp.int32),
+        edge_Sji=jnp.asarray(np.stack(e_S)),
+        edge_valid=jnp.ones(E, bool),
+        edge_weight=jnp.ones(E),
+    )
+    return prob, S_true, S_est
+
+
+class TestPoseGraphCG:
+    def test_cg_agrees_with_dense(self):
+        """The matrix-free one-hot-GEMM PCG backend must land on the same
+        optimum as the dense Cholesky backend (both solve the identical
+        GN system; only the inner linear solver differs)."""
+        prob, S_true, _ = _circle_problem(24, seed=11)
+        S_dense = np.asarray(optimize_pose_graph(prob, n_iters=15, backend="dense"))
+        S_cg = np.asarray(optimize_pose_graph(prob, n_iters=15, backend="cg"))
+        np.testing.assert_allclose(S_cg, S_dense, atol=2e-3)
+
+    def test_large_graph_routes_to_cg_and_converges(self):
+        """KITTI-00-class vertex count (auto-routes past DENSE_MAX_VERTICES):
+        drift must be distributed and endpoints must satisfy the loop."""
+        Kn = 320
+        prob, S_true, S_est = _circle_problem(Kn, seed=13, drift=0.01)
+        S_opt = np.asarray(optimize_pose_graph(prob, n_iters=12))
+        t_opt = np.stack([np.asarray(sim3_translation(jnp.asarray(S_opt[i])))
+                          for i in range(Kn)])
+        t_true = np.stack([np.asarray(sim3_translation(jnp.asarray(S_true[i])))
+                           for i in range(Kn)])
+        t_est = np.stack([np.asarray(sim3_translation(jnp.asarray(S_est[i])))
+                          for i in range(Kn)])
+        err_opt = np.linalg.norm(t_opt - t_true, axis=1)
+        err_init = np.linalg.norm(t_est - t_true, axis=1)
+        assert err_opt.mean() < 0.25 * err_init.mean(), (err_opt.mean(), err_init.mean())
+        scales = np.array([float(sim3_scale(jnp.asarray(S_opt[i]))) for i in range(Kn)])
+        assert np.abs(scales - 1.0).max() < 0.05
+
+
 class TestPoseGraph:
     def test_loop_correction_distributes_drift(self):
         """Chain of K keyframes with odometry edges + one loop edge closing
