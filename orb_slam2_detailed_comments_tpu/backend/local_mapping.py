@@ -192,7 +192,13 @@ class LocalMapper:
     # ------------------------------------------------------------------
 
     def _map_point_culling(self, cur_kf: int):
-        """reference: LocalMapping::MapPointCulling (LocalMapping.cc:280-327)."""
+        """reference: LocalMapping::MapPointCulling (LocalMapping.cc:280-327).
+
+        The observation threshold compares the WEIGHTED count (stereo obs
+        count 2, MapPoint.cc:193-197): a stereo point born with one depth
+        observation (nObs=2) survives its first re-observation (nObs=4>3);
+        counting raw keyframes here starved stereo/RGB-D maps to ~2
+        keyframe-observations per point."""
         th_obs = 2 if self.monocular else 3
         keep: List[int] = []
         for m in self.recent_points:
@@ -202,7 +208,7 @@ class LocalMapper:
             age = cur_kf - first
             if self.map.found_ratio([m])[0] < 0.25:
                 self.map.erase_map_point(m)
-            elif age >= 2 and self.map.mp_n_obs[m] <= th_obs:
+            elif age >= 2 and self.map.mp_wobs[m] <= th_obs:
                 self.map.erase_map_point(m)
             elif age >= 3:
                 pass  # graduated
@@ -437,8 +443,9 @@ class LocalMapper:
             if existing >= 0 and mp.mp_valid[existing]:
                 if existing == src:
                     continue
-                # keep the point with more observations (reference :1219-1231)
-                if mp.mp_n_obs[existing] >= mp.mp_n_obs[src]:
+                # keep the point with more observations (reference :1219-1231
+                # compares MapPoint::Observations() = the weighted count)
+                if mp.mp_wobs[existing] >= mp.mp_wobs[src]:
                     mp.replace_map_point(src, existing)
                 else:
                     mp.replace_map_point(existing, src)

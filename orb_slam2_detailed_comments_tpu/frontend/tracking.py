@@ -663,7 +663,9 @@ class Tracker:
         ref_mps = self.map.kf_mp[ref]
         ref_mps = ref_mps[ref_mps >= 0]
         ref_mps = ref_mps[self.map.mp_valid[ref_mps]]
-        ref_tracked = int((self.map.mp_n_obs[ref_mps] >= min_obs).sum())
+        # reference TrackedMapPoints compares MapPoint::Observations(), the
+        # weighted count (stereo obs = 2), against minObs (KeyFrame.cc:163-187)
+        ref_tracked = int((self.map.mp_wobs[ref_mps] >= min_obs).sum())
         # young-map degeneracy guard (beyond reference): under fast view
         # change a fresh map's points never reach 3 observations, so the
         # >=3-obs count is ~0 and the ratio trigger goes permanently dead —

@@ -585,6 +585,26 @@ def _grouped_chi2(gp: GroupedGBA, cam_Tcw, points, cam_params, oh=None):
     return (chi_g, bg), (chi_s, bs)
 
 
+def _grouped_robust_cost(gp: GroupedGBA, cam_Tcw, points, cam_params,
+                         act_g, act_s, use_kernel, oh=None):
+    """Total (Huber-rho or plain) objective over active edges — the grouped
+    equivalent of g2o's activeRobustChi2(), used for LM step acceptance.
+    The unused Jacobian columns inside _edge_state are dead-code-eliminated
+    by XLA, so this costs one residual pass."""
+    (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp, cam_Tcw, points, cam_params,
+                                             oh=oh)
+
+    def rho(chi2, is_stereo):
+        delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+        r = jnp.where(chi2 <= delta2, chi2,
+                      2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2)
+        return jnp.where(use_kernel, r, chi2)
+
+    cg = jnp.where(act_g & ~bg, rho(chi_g, gp.g_obs[2] >= 0.0), 0.0)
+    cs = jnp.where(act_s & ~bs, rho(chi_s, gp.sp_obs[2] >= 0.0), 0.0)
+    return jnp.sum(cg) + jnp.sum(cs)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "n_iters", "cg_iters",
                                               "backend", "k_mv"))
 def _solve_grouped(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
@@ -596,32 +616,49 @@ def _solve_grouped(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
     th_s = jnp.where(gp.sp_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
     n_pre = max(n_iters // 2, 1)
 
-    def step(cam_Tcw, points, act_g, act_s, use_kernel):
+    def step(cam_Tcw, points, act_g, act_s, use_kernel, lam):
         if backend == "dense":
             return _gba_dense_iteration(gp, cam_Tcw, points, act_g, act_s,
-                                        cam_params, use_kernel, damping, oh)
+                                        cam_params, use_kernel, lam, oh)
         return _gba_grouped_iteration(gp, cam_Tcw, points, act_g, act_s,
-                                      cam_params, use_kernel, damping,
+                                      cam_params, use_kernel, lam,
                                       cg_iters, oh=oh, k_mv=k_mv)
 
-    def body_robust(_, state):
-        cam_Tcw, points = state
-        return step(cam_Tcw, points, gp.g_valid, gp.sp_valid, True)
+    # LM acceptance (g2o's Levenberg rollback, same schedule as the flat
+    # solver): a candidate step is kept only if it does not increase the
+    # robust objective; rejected steps raise the damping.
+    def lm_body(act_g, act_s, use_kernel):
+        def body(_, state):
+            cam_Tcw, points, lam, c_cur = state
+            cand_c, cand_p = step(cam_Tcw, points, act_g, act_s,
+                                  use_kernel, lam)
+            c_new = _grouped_robust_cost(gp, cand_c, cand_p, cam_params,
+                                         act_g, act_s, use_kernel, oh=oh)
+            accept = c_new <= c_cur
+            cam_Tcw = jnp.where(accept, cand_c, cam_Tcw)
+            points = jnp.where(accept, cand_p, points)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                            jnp.minimum(lam * 8.0, 1e2))
+            return cam_Tcw, points, lam, jnp.where(accept, c_new, c_cur)
+        return body
 
-    cam_Tcw, points = jax.lax.fori_loop(
-        0, n_pre, body_robust, (gp.cam_Tcw, gp.points))
+    lam0 = jnp.float32(damping)
+    c0 = _grouped_robust_cost(gp, gp.cam_Tcw, gp.points, cam_params,
+                              gp.g_valid, gp.sp_valid, True, oh=oh)
+    cam_Tcw, points, _, _ = jax.lax.fori_loop(
+        0, n_pre, lm_body(gp.g_valid, gp.sp_valid, True),
+        (gp.cam_Tcw, gp.points, lam0, c0))
 
     (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp, cam_Tcw, points, cam_params,
                                              oh=oh)
     act_g = gp.g_valid & (chi_g <= th_g) & ~bg
     act_s = gp.sp_valid & (chi_s <= th_s) & ~bs
 
-    def body_plain(_, state):
-        cam_Tcw, points = state
-        return step(cam_Tcw, points, act_g, act_s, False)
-
-    cam_Tcw, points = jax.lax.fori_loop(
-        0, n_iters - n_pre, body_plain, (cam_Tcw, points))
+    c1 = _grouped_robust_cost(gp, cam_Tcw, points, cam_params,
+                              act_g, act_s, False, oh=oh)
+    cam_Tcw, points, _, _ = jax.lax.fori_loop(
+        0, n_iters - n_pre, lm_body(act_g, act_s, False),
+        (cam_Tcw, points, lam0, c1))
     cam_Tcw = se3_renormalize(cam_Tcw)
 
     (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp, cam_Tcw, points, cam_params,

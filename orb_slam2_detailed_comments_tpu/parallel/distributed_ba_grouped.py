@@ -149,37 +149,58 @@ def _shard_solve(gp_local: GroupedGBA, cam_params, n_iters, cg_iters,
     th_s = jnp.where(gp_local.sp_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
     n_pre = max(n_iters // 2, 1)
 
-    def step(cam_Tcw, points, act_g, act_s, use_kernel):
+    def step(cam_Tcw, points, act_g, act_s, use_kernel, lam):
         if backend == "dense":
             # partial S / gradient-correction psum'd ONCE per GN step,
             # replicated dense solve on every device
             return _gba_dense_iteration(
                 gp_local, cam_Tcw, points, act_g, act_s, cam_params,
-                use_kernel, damping, oh, psum_fn=psum_fn)
+                use_kernel, lam, oh, psum_fn=psum_fn)
         return _gba_grouped_iteration(
             gp_local, cam_Tcw, points, act_g, act_s, cam_params,
-            use_kernel, damping, cg_iters, psum_fn=psum_fn, oh=oh,
+            use_kernel, lam, cg_iters, psum_fn=psum_fn, oh=oh,
             k_mv=k_mv)
 
-    def body_robust(_, state):
-        cam_Tcw, points = state
-        return step(cam_Tcw, points, gp_local.g_valid, gp_local.sp_valid,
-                    True)
+    def cost(cam_Tcw, points, act_g, act_s, use_kernel):
+        # per-shard partial objective psum'd so every device sees the same
+        # accept/reject decision (lockstep LM across the mesh)
+        from ..optim.global_ba_grouped import _grouped_robust_cost
+        c = _grouped_robust_cost(gp_local, cam_Tcw, points, cam_params,
+                                 act_g, act_s, use_kernel, oh=oh)
+        return jax.lax.psum(c, AXIS)
 
-    cam_Tcw, points = jax.lax.fori_loop(
-        0, n_pre, body_robust, (gp_local.cam_Tcw, gp_local.points))
+    # LM acceptance (g2o's Levenberg rollback), lockstep over the mesh:
+    # camera state is replicated, the candidate's psum'd objective gates it
+    def lm_body(act_g, act_s, use_kernel):
+        def body(_, state):
+            cam_Tcw, points, lam, c_cur = state
+            cand_c, cand_p = step(cam_Tcw, points, act_g, act_s,
+                                  use_kernel, lam)
+            c_new = cost(cand_c, cand_p, act_g, act_s, use_kernel)
+            accept = c_new <= c_cur
+            cam_Tcw = jnp.where(accept, cand_c, cam_Tcw)
+            points = jnp.where(accept, cand_p, points)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                            jnp.minimum(lam * 8.0, 1e2))
+            return cam_Tcw, points, lam, jnp.where(accept, c_new, c_cur)
+        return body
+
+    lam0 = jnp.float32(damping)
+    c0 = cost(gp_local.cam_Tcw, gp_local.points, gp_local.g_valid,
+              gp_local.sp_valid, True)
+    cam_Tcw, points, _, _ = jax.lax.fori_loop(
+        0, n_pre, lm_body(gp_local.g_valid, gp_local.sp_valid, True),
+        (gp_local.cam_Tcw, gp_local.points, lam0, c0))
 
     (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp_local, cam_Tcw, points,
                                              cam_params, oh=oh)
     act_g = gp_local.g_valid & (chi_g <= th_g) & ~bg
     act_s = gp_local.sp_valid & (chi_s <= th_s) & ~bs
 
-    def body_plain(_, state):
-        cam_Tcw, points = state
-        return step(cam_Tcw, points, act_g, act_s, False)
-
-    cam_Tcw, points = jax.lax.fori_loop(
-        0, n_iters - n_pre, body_plain, (cam_Tcw, points))
+    c1 = cost(cam_Tcw, points, act_g, act_s, False)
+    cam_Tcw, points, _, _ = jax.lax.fori_loop(
+        0, n_iters - n_pre, lm_body(act_g, act_s, False),
+        (cam_Tcw, points, lam0, c1))
     return se3_renormalize(cam_Tcw), points
 
 

@@ -88,6 +88,13 @@ class MapStore:
         self.mp_obs_kf = np.full((MP, O), -1, np.int32)
         self.mp_obs_idx = np.full((MP, O), -1, np.int32)
         self.mp_n_obs = np.zeros(MP, np.int32)
+        # weighted observation count, the reference's MapPoint::nObs: a
+        # stereo/RGB-D observation (kf_ur >= 0) counts 2, mono counts 1
+        # (reference: src/MapPoint.cc:193-197). All survival thresholds
+        # (culling, erase-on-few-obs, tracked-in-reference) compare against
+        # THIS count — using the raw keyframe count made stereo points need
+        # twice as many keyframes to survive and quietly starved the map.
+        self.mp_wobs = np.zeros(MP, np.int32)
         self.n_mp = 0
         self._mp_free: List[int] = []  # recycled slots
 
@@ -158,9 +165,14 @@ class MapStore:
         self.mp_obs_kf[m] = -1
         self.mp_obs_idx[m] = -1
         self.mp_n_obs[m] = 0
+        self.mp_wobs[m] = 0
         self.mp_min_dist[m] = 0.0
         self.mp_max_dist[m] = 0.0
         return m
+
+    def _obs_weight(self, kf: int, idx: int) -> int:
+        """Stereo/RGB-D observations count double (MapPoint.cc:193-197)."""
+        return 2 if self.kf_ur[kf, idx] >= 0.0 else 1
 
     def add_observation(self, mp: int, kf: int, idx: int) -> None:
         """Register that keypoint `idx` of keyframe `kf` observes `mp`
@@ -170,6 +182,9 @@ class MapStore:
         # already observed by this kf?
         existing = np.nonzero(slots[:n] == kf)[0]
         if existing.size:
+            old_idx = self.mp_obs_idx[mp, existing[0]]
+            self.mp_wobs[mp] += (self._obs_weight(kf, idx)
+                                 - self._obs_weight(kf, old_idx))
             self.mp_obs_idx[mp, existing[0]] = idx
         else:
             if n >= self.OBS_CAP:
@@ -179,12 +194,14 @@ class MapStore:
                 okf, oidx = self.mp_obs_kf[mp, drop], self.mp_obs_idx[mp, drop]
                 if okf >= 0:
                     self.kf_mp[okf, oidx] = -1
+                    self.mp_wobs[mp] -= self._obs_weight(okf, oidx)
                 self.mp_obs_kf[mp, :-1] = self.mp_obs_kf[mp, 1:]
                 self.mp_obs_idx[mp, :-1] = self.mp_obs_idx[mp, 1:]
                 n = self.OBS_CAP - 1
             self.mp_obs_kf[mp, n] = kf
             self.mp_obs_idx[mp, n] = idx
             self.mp_n_obs[mp] = n + 1
+            self.mp_wobs[mp] += self._obs_weight(kf, idx)
         self.kf_mp[kf, idx] = mp
 
     def erase_observation(self, mp: int, kf: int) -> None:
@@ -196,6 +213,7 @@ class MapStore:
             return
         i = hit[0]
         idx = self.mp_obs_idx[mp, i]
+        self.mp_wobs[mp] -= self._obs_weight(kf, idx)
         if self.kf_mp[kf, idx] == mp:
             self.kf_mp[kf, idx] = -1
         # compact
@@ -206,8 +224,9 @@ class MapStore:
         self.mp_n_obs[mp] = n - 1
         if self.mp_ref_kf[mp] == kf and self.mp_n_obs[mp] > 0:
             self.mp_ref_kf[mp] = self.mp_obs_kf[mp, 0]
-        # a point with <= 2 observations dies (reference: MapPoint.cc:221-253)
-        if self.mp_n_obs[mp] <= 2:
+        # a point whose weighted count drops to <= 2 dies (reference:
+        # MapPoint.cc:221-253 checks nObs <= 2 — one stereo obs or two mono)
+        if self.mp_wobs[mp] <= 2:
             self.erase_map_point(mp)
 
     def erase_map_point(self, mp: int) -> None:
@@ -221,6 +240,7 @@ class MapStore:
                 self.kf_mp[kf, idx] = -1
         self.mp_valid[mp] = False
         self.mp_n_obs[mp] = 0
+        self.mp_wobs[mp] = 0
         self.mp_obs_kf[mp] = -1
         self.mp_obs_idx[mp] = -1
         self._mp_free.append(mp)
@@ -238,6 +258,7 @@ class MapStore:
         # detach old first so erase doesn't cascade
         self.mp_valid[old] = False
         self.mp_n_obs[old] = 0
+        self.mp_wobs[old] = 0
         self.mp_obs_kf[old] = -1
         self.mp_obs_idx[old] = -1
         self._mp_free.append(old)
@@ -480,7 +501,7 @@ class MapStore:
                      "kf_kp_valid kf_ur kf_depth kf_mp kf_frame_id kf_timestamp kf_Tcp "
                      "covis parent mp_valid mp_pos mp_normal mp_desc mp_min_dist "
                      "mp_max_dist mp_ref_kf mp_first_kf mp_visible mp_found "
-                     "mp_obs_kf mp_obs_idx mp_n_obs").split():
+                     "mp_obs_kf mp_obs_idx mp_n_obs mp_wobs").split():
             out[name] = getattr(self, name)
         out["n_kf"] = self.n_kf
         out["n_mp"] = self.n_mp
@@ -498,4 +519,11 @@ class MapStore:
             else:
                 getattr(ms, k)[...] = v
         ms._mp_free = [i for i in range(ms.n_mp) if not ms.mp_valid[i]]
+        if "mp_wobs" not in data:  # checkpoints from before weighted counts
+            for m in np.nonzero(ms.mp_valid)[0]:
+                n = ms.mp_n_obs[m]
+                ms.mp_wobs[m] = sum(
+                    ms._obs_weight(int(ms.mp_obs_kf[m, i]),
+                                   int(ms.mp_obs_idx[m, i]))
+                    for i in range(n))
         return ms

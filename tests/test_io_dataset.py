@@ -69,7 +69,8 @@ class TestTumDataset:
         # viz smoke: draw the last frame + map + trajectory
         fr = slam.tracker.last_frame
         rgb = FrameDrawer(cfg).draw(img, fr)
-        assert rgb.shape == (240, 320, 3)
+        # image rows + the 15-px DrawTextInfo status banner (drawers.py)
+        assert rgb.shape == (255, 320, 3)
         MapDrawer(slam.map).render(str(tmp_path / "map.png"))
         assert os.path.exists(tmp_path / "map.png")
         slam.save_trajectory_tum(str(tmp_path / "traj.txt"))

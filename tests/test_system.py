@@ -50,7 +50,9 @@ class TestVocabularySelfTraining:
         world = PlanesWorld(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
                             width=320, height=240, texture_seed=11)
         poses = smooth_trajectory(16, step=0.06)
-        slam = System(make_cfg(), Sensor.RGBD)
+        # vocabulary="online" opts out of the shipped default vocabulary to
+        # exercise the self-training fallback path
+        slam = System(make_cfg(), Sensor.RGBD, vocabulary="online")
         assert slam.voc is None
         for i in range(16):
             img = world.render(poses[i])
