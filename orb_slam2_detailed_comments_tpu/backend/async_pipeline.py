@@ -7,10 +7,13 @@ mlNewKeyFrames + SetAcceptKeyFrames). The default pipeline is synchronous
 and deterministic; enable this to overlap per-frame device work (feature
 extraction, matching) with mapping.
 
-Synchronization is a single reentrant map lock held for a whole tracking
-step or a whole mapping step — coarser than the reference's ten mutexes
-but race-free by construction; the overlap win comes from extraction and
-matching running outside the lock.
+Synchronization is a single reentrant map lock — coarser than the
+reference's ten mutexes but race-free by construction; the overlap win
+comes from extraction and matching running outside the lock on the
+tracking side, and the local-BA SOLVE running outside the lock on the
+mapping side (snapshot under lock -> solve off-lock -> merge under lock
+with pose-epoch + point-identity staleness guards, the same pattern as
+backend/gba_runner.py).
 """
 from __future__ import annotations
 
@@ -94,8 +97,20 @@ class AsyncLocalMapper:
                 break
             kf, run_ba = item
             try:
+                # local-BA solve runs OUTSIDE the map lock (gba_runner's
+                # snapshot/solve/merge pattern): tracking's in-lock portion
+                # never waits behind the 9.8-48.4 ms BA buckets, only
+                # behind the host-side build/merge (round-3; the reference
+                # achieves the same via fine-grained mutexes,
+                # LocalMapping.cc:80-173)
                 with self.lock:
-                    self.mapper.on_new_keyframe(kf, run_ba=run_ba)
+                    built = self.mapper.prepare_keyframe(kf, run_ba=run_ba)
+                result = (self.mapper._solve_local_ba(built)
+                          if built is not None else None)
+                with self.lock:
+                    if result is not None:
+                        self.mapper._merge_local_ba(built, result)
+                    self.mapper.finish_keyframe(kf)
             finally:
                 self.queue.task_done()
                 if self.queue.empty():

@@ -52,7 +52,16 @@ class GlobalBARunner:
                 np.float32)
         self.inv_sigma2 = inv_sigma2
         self._thread: Optional[threading.Thread] = None
+        # Per-launch stop event + generation counter. The generation guard
+        # (checked under the map lock at merge time) makes a stale merge
+        # impossible even when request_stop's join times out: a GBA thread
+        # that was blocked at the merge lock while a new loop correction
+        # ran (holding that lock) sees gen != its own and discards. The
+        # stop event is REPLACED per launch (never .clear()ed), so a new
+        # launch can't accidentally unflag an old thread.
         self._stop = threading.Event()
+        self._gen = 0
+        self._meta_lock = threading.Lock()
         self.n_completed = 0
         self.n_aborted = 0
         # test/observability hook: called between solver chunks (after the
@@ -66,12 +75,15 @@ class GlobalBARunner:
 
     def request_stop(self, join: bool = True, timeout: float = 30.0):
         """Kill a running GBA (reference: LoopClosing.cc:699-712 sets
-        mbStopGBA and busy-waits for the thread)."""
-        if not self.running():
-            return
-        self._stop.set()
-        if join and self._thread is not None:
-            self._thread.join(timeout)
+        mbStopGBA and busy-waits for the thread). Bumping the generation
+        invalidates any pending merge even if the join times out (e.g. the
+        caller holds the map lock the merging thread is blocked on)."""
+        with self._meta_lock:
+            self._gen += 1
+            self._stop.set()
+            th = self._thread
+        if join and th is not None and th is not threading.current_thread():
+            th.join(timeout)
 
     def wait(self, timeout: Optional[float] = None):
         if self._thread is not None:
@@ -79,19 +91,27 @@ class GlobalBARunner:
 
     def launch(self, n_iters: int = 10):
         """Start a full BA. A running GBA is stopped first (the reference
-        does the same from CorrectLoop before re-launching)."""
-        self.request_stop(join=True)
-        self._stop.clear()
+        does the same from CorrectLoop before re-launching). No join: the
+        old thread self-aborts at its next chunk boundary (stop event) or
+        at merge time (generation guard), so launch never stalls behind a
+        solver chunk even when called under the map lock."""
+        with self._meta_lock:
+            self._gen += 1
+            self._stop.set()          # signal any in-flight thread
+            stop = threading.Event()  # fresh event for this launch
+            self._stop = stop
+            gen = self._gen
         with self.lock:
             snap = self._snapshot()
         if snap is None:
             return
         if self.async_mode:
             self._thread = threading.Thread(
-                target=self._solve_and_merge, args=(snap, n_iters), daemon=True)
+                target=self._solve_and_merge, args=(snap, n_iters, stop, gen),
+                daemon=True)
             self._thread.start()
         else:
-            self._solve_and_merge(snap, n_iters)
+            self._solve_and_merge(snap, n_iters, stop, gen)
 
     # ------------------------------------------------------------------
 
@@ -109,11 +129,12 @@ class GlobalBARunner:
             "n_kf": int(self.map.n_kf),
         }
 
-    def _solve_and_merge(self, snap, n_iters: int):
+    def _solve_and_merge(self, snap, n_iters: int, stop: threading.Event,
+                         gen: int):
         def stop_check():
             if self._chunk_hook is not None:
                 self._chunk_hook()
-            return self._stop.is_set()
+            return stop.is_set()
 
         # sync mode keeps the single fused solve (deterministic pipeline,
         # nothing can interrupt it); async mode chunks the schedule so the
@@ -128,7 +149,9 @@ class GlobalBARunner:
             return
         cam_new, pts_new = result
         with self.lock:
-            if self._stop.is_set():
+            # generation guard: a newer launch/stop invalidated this solve
+            # while we were waiting for the map lock (see __init__ note)
+            if stop.is_set() or gen != self._gen:
                 self.n_aborted += 1
                 return
             self._merge(snap, cam_new, pts_new)
@@ -202,3 +225,4 @@ class GlobalBARunner:
 
         all_pts = np.nonzero(mp.mp_valid)[0]
         mp.update_normal_and_depth(all_pts)
+        mp.pose_epoch += 1  # invalidate any off-lock local-BA in flight

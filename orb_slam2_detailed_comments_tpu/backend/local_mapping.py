@@ -113,6 +113,41 @@ def solve_global_ba(prob: BAProblem, camera, inv_sigma2, n_iters: int = 10,
     if stop_check is None:
         chunk = n_iters  # single fused solve
 
+    if use_grouped and stop_check is not None:
+        # interruptible grouped path: run the SAME two-phase LM schedule
+        # as the fused solve, threading (lambda, cost, activation) across
+        # chunk boundaries — an uninterrupted async solve is the identical
+        # sequence of LM iterations as sync (round-3; advisor r2 flagged
+        # the old per-chunk schedule restart).
+        from ..optim.global_ba_grouped import (
+            group_global_problem, _solve_grouped_phase, _grouped_activation,
+            _grouped_cost)
+        from ..geometry.se3 import se3_renormalize
+        gp = group_global_problem(prob, inv_sigma2)
+        cam_Tcw, points = gp.cam_Tcw, gp.points
+        n_pre = max(n_iters // 2, 1)
+        for phase_iters, use_kernel in ((n_pre, True),
+                                        (n_iters - n_pre, False)):
+            gp = gp._replace(cam_Tcw=cam_Tcw, points=points)
+            if use_kernel:
+                act_g, act_s = gp.g_valid, gp.sp_valid
+            else:
+                act_g, act_s = _grouped_activation(gp, camera, "gemm")
+            c_cur = _grouped_cost(gp, camera, use_kernel, act_g, act_s,
+                                  "gemm")
+            lam = jnp.float32(1e-5)
+            done_p = 0
+            while done_p < phase_iters:
+                if stop_check():
+                    return None
+                it = min(chunk, phase_iters - done_p)
+                cam_Tcw, points, lam, c_cur = _solve_grouped_phase(
+                    gp._replace(cam_Tcw=cam_Tcw, points=points), camera,
+                    it, 50, "gemm", 1, use_kernel, act_g, act_s, lam, c_cur)
+                done_p += it
+        cam_Tcw = se3_renormalize(cam_Tcw)
+        return np.asarray(cam_Tcw), np.asarray(points)
+
     cam_Tcw, points = prob.cam_Tcw, prob.points
     gp = None
     done = 0
@@ -121,6 +156,11 @@ def solve_global_ba(prob: BAProblem, camera, inv_sigma2, n_iters: int = 10,
             return None
         it = min(chunk, n_iters - done)
         if use_dist:
+            # NOTE: when chunked (async stop_check), each chunk re-groups,
+            # re-shards, and restarts the LM schedule — async multi-device
+            # GBA intentionally diverges from the fused solve (threading
+            # sharded solver state across host chunks isn't worth the
+            # transfer); single-device grouped async is exact (above).
             from ..parallel.distributed_ba_grouped import (
                 distributed_global_ba_grouped, make_grouped_mesh)
             cam_Tcw, points = distributed_global_ba_grouped(
@@ -136,6 +176,8 @@ def solve_global_ba(prob: BAProblem, camera, inv_sigma2, n_iters: int = 10,
             cam_Tcw, points, _, _ = _solve_grouped(
                 gp, camera, it, 50, 1e-5, "gemm", 1)
         else:
+            # flat small-map path: chunked solves restart the robust/plain
+            # split per chunk (documented divergence; small maps only)
             cam_Tcw, points, _ = global_bundle_adjustment(
                 prob._replace(cam_Tcw=jnp.asarray(cam_Tcw),
                               points=jnp.asarray(points)),
@@ -165,6 +207,9 @@ class LocalMapper:
         # "keyframes waiting in the queue".
         self.abort_ba_check = None
         self.n_ba_aborted = 0
+        # off-lock local-BA merges discarded because a loop correction /
+        # GBA merge moved the map during the solve (async mode only)
+        self.n_ba_stale = 0
 
     def reset(self):
         self.recent_points.clear()
@@ -173,6 +218,16 @@ class LocalMapper:
     # ------------------------------------------------------------------
 
     def on_new_keyframe(self, kf: int, run_ba: bool = True):
+        built = self.prepare_keyframe(kf, run_ba)
+        if built is not None:
+            self._merge_local_ba(built, self._solve_local_ba(built))
+        self.finish_keyframe(kf)
+
+    def prepare_keyframe(self, kf: int, run_ba: bool = True):
+        """Map-mutating first half of the mapping step (culling,
+        triangulation, fusion) + local-BA window snapshot. Returns the
+        built BA problem (or None) so the async pipeline can run the
+        solve outside the map lock."""
         self.kf_counter += 1
         # new points created at KF creation join the culling watchlist
         fresh = self.map.kf_mp[kf]
@@ -184,7 +239,12 @@ class LocalMapper:
         self._create_new_map_points(kf)
         self._search_in_neighbors(kf)
         if run_ba and self.map.n_keyframes() > 2:
-            self.local_ba(kf)
+            return self._build_local_ba(kf)
+        return None
+
+    def finish_keyframe(self, kf: int):
+        """Second half: keyframe culling + loop closing (after the
+        local-BA merge)."""
         self._keyframe_culling(kf)
         if self.loop_closer is not None:
             self.loop_closer.on_new_keyframe(kf)
@@ -455,8 +515,21 @@ class LocalMapper:
     # ------------------------------------------------------------------
 
     def local_ba(self, kf: int):
-        """Build + solve the local-BA window (reference:
-        Optimizer::LocalBundleAdjustment, Optimizer.cc:631-1030)."""
+        """Build + solve + merge the local-BA window (reference:
+        Optimizer::LocalBundleAdjustment, Optimizer.cc:631-1030).
+        Split into three stages so the async pipeline can run the SOLVE
+        (the expensive device part, 9.8-48.4 ms per bucket) outside the
+        map lock with the gba_runner's snapshot/merge pattern; the sync
+        path calls all three back-to-back (identical math)."""
+        built = self._build_local_ba(kf)
+        if built is None:
+            return
+        result = self._solve_local_ba(built)
+        self._merge_local_ba(built, result)
+
+    def _build_local_ba(self, kf: int):
+        """Snapshot the local window into a BAProblem (under the map
+        lock in async mode). Returns None if the window is degenerate."""
         mp = self.map
         local = [kf] + [int(x) for x in mp.get_covisible(kf)]
         local = local[:BA_CAM_CAP - 8]          # leave room for fixed cams
@@ -498,7 +571,7 @@ class LocalMapper:
 
         E = len(e_cam)
         if E < 10:
-            return
+            return None
         # pick the smallest bucket that fits
         for C, P, E_CAP in BA_BUCKETS:
             if len(cams) <= C and len(pts) <= P and E <= E_CAP:
@@ -549,6 +622,27 @@ class LocalMapper:
             edge_octave=jnp.asarray(np.pad(np.asarray(e_oct, np.int32), (0, pad_e))),
             edge_valid=jnp.asarray(np.pad(np.ones(E, bool), (0, pad_e))),
         )
+        return {
+            "prob": prob,
+            "kf": kf,
+            "cams": cams,
+            "local": local,
+            "cam_free": cam_free,
+            "pts": pts,
+            "e_cam": np.asarray(e_cam, np.int32),
+            "e_pt": np.asarray(e_pt, np.int32),
+            "E": E,
+            # staleness guards for the off-lock solve (async mode): point
+            # slots are recycled by the free-list, and a loop correction /
+            # GBA merge moving the whole map invalidates the window
+            "pt_first_kf": mp.mp_first_kf[pts].copy(),
+            "pose_epoch": mp.pose_epoch,
+        }
+
+    def _solve_local_ba(self, built):
+        """Run the BA schedule on the snapshot — touches only the problem
+        arrays, never the map: safe OUTSIDE the map lock."""
+        prob = built["prob"]
         inv_s2 = jnp.asarray(self.inv_sigma2)
         abort_check = self.abort_ba_check
         if abort_check is None:
@@ -572,25 +666,46 @@ class LocalMapper:
                     prob._replace(cam_Tcw=new_cams, points=new_pts),
                     self.config.camera, inv_s2,
                     n_iters_pre=0, n_iters_post=10)
+        return (np.asarray(new_cams), np.asarray(new_pts),
+                np.asarray(inlier))
 
-        new_cams = np.asarray(new_cams)
-        new_pts = np.asarray(new_pts)
-        inlier = np.asarray(inlier)
+    def _merge_local_ba(self, built, result):
+        """Write the solved window back (under the map lock in async
+        mode), guarded against concurrent map mutation during an off-lock
+        solve (the gba_runner merge pattern)."""
+        mp = self.map
+        new_cams, new_pts, inlier = result
+        cams, local, cam_free = built["cams"], built["local"], built["cam_free"]
+        pts, e_cam, e_pt, E = (built["pts"], built["e_cam"], built["e_pt"],
+                               built["E"])
 
-        # write back
+        if mp.pose_epoch != built["pose_epoch"]:
+            # a loop correction / GBA merge moved the map under us: the
+            # window's linearization point is gone — discard (the next
+            # keyframe re-runs local BA on fresh state)
+            self.n_ba_stale += 1
+            return
+
+        # point identity guard: slots recycled by the free-list since the
+        # snapshot must not receive the staged position
+        same = mp.mp_valid[pts] & (mp.mp_first_kf[pts] == built["pt_first_kf"])
+
         for i, c in enumerate(cams[:len(local)]):
-            if cam_free[i]:
+            if cam_free[i] and mp.kf_valid[c]:
                 mp.kf_Tcw[c] = new_cams[i]
-        mp.mp_pos[pts] = new_pts[:len(pts)]
+        mp.mp_pos[pts[same]] = new_pts[:len(pts)][same]
 
         # erase outlier observations (reference: Optimizer.cc:940-1007)
         bad = np.nonzero(~inlier[:E])[0]
         for e in bad:
-            p = int(pts[e_pt[e]])
+            pi = int(e_pt[e])
+            if not same[pi]:
+                continue
+            p = int(pts[pi])
             k = cams[e_cam[e]]
-            if mp.mp_valid[p]:
+            if mp.mp_valid[p] and mp.kf_valid[k]:
                 self.map.erase_observation(p, k)
-        touched = pts[mp.mp_valid[pts]]
+        touched = pts[same & mp.mp_valid[pts]]
         mp.update_normal_and_depth(touched)
 
     def global_ba(self, n_iters: int = 10):
@@ -608,6 +723,7 @@ class LocalMapper:
                 mp.kf_Tcw[c] = new_cams[i]
         mp.mp_pos[pts] = new_pts
         mp.update_normal_and_depth(pts)
+        mp.pose_epoch += 1  # invalidate any off-lock local-BA in flight
 
     # ------------------------------------------------------------------
 

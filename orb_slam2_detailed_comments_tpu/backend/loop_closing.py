@@ -298,6 +298,12 @@ class LoopCloser:
 
         mp.update_normal_and_depth(np.asarray(sorted(moved), np.int64))
 
+        # covisible neighbors BEFORE fusion: the diff after SearchAndFuse
+        # identifies the NEW cross-loop connections (reference :900-911
+        # vpPreviousNeighbors)
+        prev_neighbors = {g: {int(x) for x in mp.get_covisible(g)}
+                          for g in group}
+
         # fuse loop points into the corrected neighborhood (reference :861-887
         # + SearchAndFuse :983-1023)
         if self.local_mapper is not None:
@@ -309,10 +315,25 @@ class LoopCloser:
         for g in group:
             mp.update_connections(g)
 
+        # LoopConnections: connections each group member acquired THROUGH
+        # the fusion — new links to the loop side. These carry loop-class
+        # (corrected-pose) measurements in the essential graph; everything
+        # pre-existing keeps its odometry-class measurement
+        # (reference :913-927 builds exactly this diff)
+        group_set = set(group)
+        loop_connections: Dict[int, Set[int]] = {}
+        for g in group:
+            new_links = ({int(x) for x in mp.get_covisible(g)}
+                         - prev_neighbors[g] - group_set)
+            if new_links:
+                loop_connections[g] = new_links
+
         # essential graph optimization (reference :939-947)
-        self._optimize_essential_graph(kf, loop_kf, corrected, uncorrected)
+        self._optimize_essential_graph(kf, loop_kf, corrected, uncorrected,
+                                       loop_connections)
 
         mp.add_loop_edge(kf, loop_kf)
+        mp.pose_epoch += 1  # invalidate any off-lock local-BA in flight
         self.last_loop_kf = kf
         self.n_loops_closed += 1
 
@@ -329,15 +350,27 @@ class LoopCloser:
 
     def _optimize_essential_graph(self, kf: int, loop_kf: int,
                                   corrected: Dict[int, np.ndarray],
-                                  uncorrected: Dict[int, np.ndarray]):
+                                  uncorrected: Dict[int, np.ndarray],
+                                  loop_connections:
+                                  Optional[Dict[int, Set[int]]] = None):
         """Build + solve the essential graph (reference:
-        Optimizer::OptimizeEssentialGraph, Optimizer.cc:1050-1381)."""
+        Optimizer::OptimizeEssentialGraph, Optimizer.cc:1050-1381).
+
+        loop_connections: {group_kf -> set of cross-loop kfs newly linked
+        by SearchAndFuse} — these pairs get loop-class edges measured from
+        the CORRECTED poses (reference: Optimizer.cc:1137-1160); all other
+        edges are odometry-class (pre-correction measurements)."""
         mp = self.map
         kfs = mp.keyframe_ids()
         slot = {int(k): i for i, k in enumerate(kfs)}
         K = len(kfs)
 
-        S_init = np.stack([mp.kf_Tcw[k] for k in kfs]).astype(np.float32)
+        # vertex seeds: corrected-group members start from their FULL Sim3
+        # (including the measured scale — the prior a monocular loop needs,
+        # reference: Optimizer.cc:1099-1114 vCorrectedSwc); everything else
+        # from its stored SE3 pose (scale 1).
+        S_init = np.stack([corrected.get(int(k), mp.kf_Tcw[int(k)])
+                           for k in kfs]).astype(np.float32)
         fixed = np.zeros(K, bool)
         fixed[slot[loop_kf]] = True  # reference fixes the loop KF (:1090)
         if mp.origin_kf in slot:
@@ -374,6 +407,22 @@ class LoopCloser:
             Sj = corrected.get(j, mp.kf_Tcw[j])
             return (Sj @ np.linalg.inv(Si)).astype(np.float32)
 
+        # loop-class edges FIRST (added first wins the dedup): the new
+        # kf<->loop_kf edge plus every cross-loop connection SearchAndFuse
+        # created, all measured from CORRECTED poses — a cross-loop pair
+        # must not enter as an odometry-class edge whose measurement
+        # encodes the pre-loop drift (reference: Optimizer.cc:1137-1160,
+        # minFeat=100 gate except for the primary pair)
+        add_edge(kf, loop_kf, rel_corrected(kf, loop_kf), 1.0)
+        for a, conns in (loop_connections or {}).items():
+            for b in conns:
+                if b not in slot:
+                    continue
+                if not ((a == kf and b == loop_kf)
+                        or mp.covis[a, b] >= 100):
+                    continue
+                add_edge(a, b, rel_corrected(a, b), 1.0)
+
         for k in kfs:
             k = int(k)
             parent = int(mp.parent[k])
@@ -386,8 +435,6 @@ class LoopCloser:
                 nb = int(nb)
                 if mp.covis[k, nb] >= 100 and nb in slot:
                     add_edge(k, nb, rel(k, nb), 1.0)
-        # the new loop edge carries the corrected relative pose
-        add_edge(kf, loop_kf, rel_corrected(kf, loop_kf), 1.0)
 
         if not e_i:
             return

@@ -75,6 +75,14 @@ class Relocalizer:
                 continue
             if n_in < 50:
                 n_in = self._search_more(frame, window_th=10.0, max_dist=100)
+                if 30 < n_in < 50:
+                    # narrow second pass from the now-refined pose
+                    # (reference: Tracking.cc:2448-2482 — window 3,
+                    # ORBdist 64, outlier associations dropped first)
+                    frame.mp[frame.is_outlier] = -1
+                    frame.is_outlier[:] = False
+                    n_in = self._search_more(frame, window_th=3.0,
+                                             max_dist=64)
             if n_in >= 50:
                 frame.mp[frame.is_outlier] = -1
                 frame.is_outlier[:] = False

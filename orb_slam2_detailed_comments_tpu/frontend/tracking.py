@@ -202,9 +202,24 @@ class Tracker:
             else:  # LOST
                 ok = self._relocalize(frame)
 
-        if ok and not self.localization_only:
+        # refine against the local map — in localization mode too, whenever
+        # not in degraded VO (reference: Tracking.cc:640-649
+        # "if(bOK && !mbVO) bOK = TrackLocalMap()")
+        if ok and (not self.localization_only or not self.vo_mode):
             with self.timer.stage("track_local_map"):
-                ok = self._track_local_map(frame)
+                if self.localization_only:
+                    # beyond-reference robustness: if the local map is too
+                    # thin to support refinement (leaving the mapped area,
+                    # 10-30 matches), degrade to VO on the unrefined pose
+                    # instead of going LOST (the reference drops the track
+                    # here and waits for relocalization)
+                    saved = (frame.Tcw.copy(), frame.mp.copy(),
+                             frame.is_outlier.copy())
+                    if not self._track_local_map(frame):
+                        frame.Tcw, frame.mp, frame.is_outlier = saved
+                        self.vo_mode = True
+                else:
+                    ok = self._track_local_map(frame)
 
         if ok:
             self.state = TrackingState.OK

@@ -606,17 +606,21 @@ def _grouped_robust_cost(gp: GroupedGBA, cam_Tcw, points, cam_params,
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "n_iters", "cg_iters",
-                                              "backend", "k_mv"))
-def _solve_grouped(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
-                   damping: float, backend: str = "gemm", k_mv: int = 1):
+                                              "backend", "k_mv",
+                                              "use_kernel"))
+def _solve_grouped_phase(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
+                         backend: str, k_mv: int, use_kernel: bool,
+                         act_g, act_s, lam, c_cur):
+    """One LM phase (robust or plain) of `n_iters` iterations starting
+    from carried (lam, cost). Exposing the phase with explicit carried
+    state lets the async chunked path (backend/gba_runner via
+    solve_global_ba) run the EXACT sync schedule across chunk boundaries
+    instead of restarting the lambda/phase/activation per chunk."""
     cam_params = (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
     C = gp.cam_Tcw.shape[0]
     oh = _build_onehot(gp, C) if backend in ("gemm", "dense") else None
-    th_g = jnp.where(gp.g_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
-    th_s = jnp.where(gp.sp_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
-    n_pre = max(n_iters // 2, 1)
 
-    def step(cam_Tcw, points, act_g, act_s, use_kernel, lam):
+    def step(cam_Tcw, points, lam):
         if backend == "dense":
             return _gba_dense_iteration(gp, cam_Tcw, points, act_g, act_s,
                                         cam_params, use_kernel, lam, oh)
@@ -627,44 +631,71 @@ def _solve_grouped(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
     # LM acceptance (g2o's Levenberg rollback, same schedule as the flat
     # solver): a candidate step is kept only if it does not increase the
     # robust objective; rejected steps raise the damping.
-    def lm_body(act_g, act_s, use_kernel):
-        def body(_, state):
-            cam_Tcw, points, lam, c_cur = state
-            cand_c, cand_p = step(cam_Tcw, points, act_g, act_s,
-                                  use_kernel, lam)
-            c_new = _grouped_robust_cost(gp, cand_c, cand_p, cam_params,
-                                         act_g, act_s, use_kernel, oh=oh)
-            accept = c_new <= c_cur
-            cam_Tcw = jnp.where(accept, cand_c, cam_Tcw)
-            points = jnp.where(accept, cand_p, points)
-            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
-                            jnp.minimum(lam * 8.0, 1e2))
-            return cam_Tcw, points, lam, jnp.where(accept, c_new, c_cur)
-        return body
+    def body(_, state):
+        cam_Tcw, points, lam, c_cur = state
+        cand_c, cand_p = step(cam_Tcw, points, lam)
+        c_new = _grouped_robust_cost(gp, cand_c, cand_p, cam_params,
+                                     act_g, act_s, use_kernel, oh=oh)
+        accept = c_new <= c_cur
+        cam_Tcw = jnp.where(accept, cand_c, cam_Tcw)
+        points = jnp.where(accept, cand_p, points)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                        jnp.minimum(lam * 8.0, 1e2))
+        return cam_Tcw, points, lam, jnp.where(accept, c_new, c_cur)
 
-    lam0 = jnp.float32(damping)
-    c0 = _grouped_robust_cost(gp, gp.cam_Tcw, gp.points, cam_params,
-                              gp.g_valid, gp.sp_valid, True, oh=oh)
-    cam_Tcw, points, _, _ = jax.lax.fori_loop(
-        0, n_pre, lm_body(gp.g_valid, gp.sp_valid, True),
-        (gp.cam_Tcw, gp.points, lam0, c0))
+    return jax.lax.fori_loop(0, n_iters, body,
+                             (gp.cam_Tcw, gp.points, lam, c_cur))
 
-    (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp, cam_Tcw, points, cam_params,
-                                             oh=oh)
+
+@functools.partial(jax.jit, static_argnames=("cam", "backend"))
+def _grouped_activation(gp: GroupedGBA, cam, backend: str = "gemm"):
+    """Per-edge chi2 inlier activation at the CURRENT gp poses/points
+    (the gate between the robust and plain LM phases, and the final
+    inlier report)."""
+    cam_params = (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+    C = gp.cam_Tcw.shape[0]
+    oh = _build_onehot(gp, C) if backend in ("gemm", "dense") else None
+    th_g = jnp.where(gp.g_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
+    th_s = jnp.where(gp.sp_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
+    (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp, gp.cam_Tcw, gp.points,
+                                             cam_params, oh=oh)
     act_g = gp.g_valid & (chi_g <= th_g) & ~bg
     act_s = gp.sp_valid & (chi_s <= th_s) & ~bs
+    return act_g, act_s
 
-    c1 = _grouped_robust_cost(gp, cam_Tcw, points, cam_params,
-                              act_g, act_s, False, oh=oh)
-    cam_Tcw, points, _, _ = jax.lax.fori_loop(
-        0, n_iters - n_pre, lm_body(act_g, act_s, False),
-        (cam_Tcw, points, lam0, c1))
+
+@functools.partial(jax.jit, static_argnames=("cam", "backend", "use_kernel"))
+def _grouped_cost(gp: GroupedGBA, cam, use_kernel: bool, act_g, act_s,
+                  backend: str = "gemm"):
+    cam_params = (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+    C = gp.cam_Tcw.shape[0]
+    oh = _build_onehot(gp, C) if backend in ("gemm", "dense") else None
+    return _grouped_robust_cost(gp, gp.cam_Tcw, gp.points, cam_params,
+                                act_g, act_s, use_kernel, oh=oh)
+
+
+def _solve_grouped(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
+                   damping: float, backend: str = "gemm", k_mv: int = 1):
+    """Full two-phase LM schedule: n_pre robust-kernel iterations over all
+    valid edges, chi2 activation gate, then plain iterations over the
+    inlier set (lambda resets at the phase boundary, as before)."""
+    n_pre = max(n_iters // 2, 1)
+    lam0 = jnp.float32(damping)
+    c0 = _grouped_cost(gp, cam, True, gp.g_valid, gp.sp_valid, backend)
+    cam_Tcw, points, _, _ = _solve_grouped_phase(
+        gp, cam, n_pre, cg_iters, backend, k_mv, True,
+        gp.g_valid, gp.sp_valid, lam0, c0)
+
+    gp1 = gp._replace(cam_Tcw=cam_Tcw, points=points)
+    act_g, act_s = _grouped_activation(gp1, cam, backend)
+    c1 = _grouped_cost(gp1, cam, False, act_g, act_s, backend)
+    cam_Tcw, points, _, _ = _solve_grouped_phase(
+        gp1, cam, n_iters - n_pre, cg_iters, backend, k_mv, False,
+        act_g, act_s, lam0, c1)
     cam_Tcw = se3_renormalize(cam_Tcw)
 
-    (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp, cam_Tcw, points, cam_params,
-                                             oh=oh)
-    in_g = gp.g_valid & (chi_g <= th_g) & ~bg
-    in_s = gp.sp_valid & (chi_s <= th_s) & ~bs
+    in_g, in_s = _grouped_activation(
+        gp._replace(cam_Tcw=cam_Tcw, points=points), cam, backend)
     return cam_Tcw, points, in_g, in_s
 
 

@@ -14,12 +14,16 @@ Two backends, routed by graph size (backend="auto"):
     scatter-add into a dense (7K, 7K) matrix and solved with Cholesky.
     Exact inner solve; fine after keyframe culling at loop-test scales.
   * "cg" (large K — KITTI-00-class keyframe counts): never materializes
-    H. Block-Jacobi-preconditioned CG on the implicit normal system; all
-    vertex<->edge data movement is k-limb bfloat16 one-hot GEMM on the MXU
-    (the same scatter/gather-free pattern optim/global_ba_grouped.py
-    proved 3.6-12x on TPU; duplicate-index scatter-adds serialize). The
-    (K, 2E) one-hot is built once per solve; a CG matvec is two GEMMs
-    (expand + reduce) plus per-edge 7x7 block products.
+    H. Block-Jacobi-preconditioned CG on the implicit normal system in
+    spanning-tree-relative coordinates; all vertex<->edge data movement
+    is full-f32 one-hot GEMM on the MXU (the scatter/gather-free pattern
+    optim/global_ba_grouped.py proved 3.6-12x on TPU; duplicate-index
+    scatter-adds serialize — but unlike BA, CG here needs ~1e-6 matvec
+    accuracy, so these GEMMs run at Precision.HIGHEST, not bf16 limbs).
+    The (K, 2E) one-hot is built once per solve; a CG matvec is two GEMMs
+    (expand + reduce) plus per-edge 7x7 block products. The inner solve
+    runs to a 1e-8 preconditioned-residual reduction (early-exit
+    while_loop), not a fixed schedule.
 
 Edge error (g2o EdgeSim3 convention): e = log(Sji . Si . Sj^-1) where Si,
 Sj are world->keyframe Sim3 and Sji the measured relative transform.
@@ -33,8 +37,6 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.sim3 import exp_sim3, log_sim3, sim3_inverse
-from .global_ba_grouped import _oh_expand, _oh_reduce, _split_bf16
-
 
 class PoseGraphProblem(NamedTuple):
     S_init: jnp.ndarray      # (K, 4, 4) initial world->KF Sim3 (sR | t)
@@ -54,6 +56,20 @@ def _edge_error(xi_i, xi_j, Si, Sj, Sji):
     return log_sim3(Sji @ Si_new @ sim3_inverse(Sj_new))
 
 
+def _sanitized_edges(prob: "PoseGraphProblem"):
+    """Make invalid edges numerically inert (not just weight-0): endpoint
+    indices clamped to vertex 0 and Sji replaced by identity, so a padded
+    edge's residual/Jacobian is finite (log(I.S0.S0^-1) = 0) and w=0 can
+    mask it without NaN*0 contamination."""
+    ev = prob.edge_valid
+    edge_i = jnp.where(ev, prob.edge_i, 0)
+    edge_j = jnp.where(ev, prob.edge_j, 0)
+    eye4 = jnp.broadcast_to(jnp.eye(4, dtype=prob.edge_Sji.dtype),
+                            prob.edge_Sji.shape)
+    edge_Sji = jnp.where(ev[:, None, None], prob.edge_Sji, eye4)
+    return edge_i, edge_j, edge_Sji
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters",))
 def _optimize_pose_graph_dense(prob: PoseGraphProblem, n_iters: int = 20,
                                damping: float = 1e-8):
@@ -67,13 +83,18 @@ def _optimize_pose_graph_dense(prob: PoseGraphProblem, n_iters: int = 20,
 
     free = (prob.vertex_valid & ~prob.vertex_fixed)
     free7 = jnp.repeat(free, 7)
+    # sanitize padded/invalid edges BEFORE differentiation: w=0 masks the
+    # contribution, but a garbage Sji or endpoint would put NaN through
+    # log_sim3 and NaN*0 poisons the normal system (callers padding to
+    # static shapes rely on this).
+    edge_i, edge_j, edge_Sji = _sanitized_edges(prob)
 
     def body(_, S):
-        Si = S[prob.edge_i]
-        Sj = S[prob.edge_j]
-        r = err_fn(zero7, zero7, Si, Sj, prob.edge_Sji)       # (E, 7)
-        Ji = Ji_fn(zero7, zero7, Si, Sj, prob.edge_Sji)       # (E, 7, 7)
-        Jj = Jj_fn(zero7, zero7, Si, Sj, prob.edge_Sji)
+        Si = S[edge_i]
+        Sj = S[edge_j]
+        r = err_fn(zero7, zero7, Si, Sj, edge_Sji)            # (E, 7)
+        Ji = Ji_fn(zero7, zero7, Si, Sj, edge_Sji)            # (E, 7, 7)
+        Jj = Jj_fn(zero7, zero7, Si, Sj, edge_Sji)
         w = jnp.where(prob.edge_valid, prob.edge_weight, 0.0)
 
         Hii = jnp.einsum("eri,erj,e->eij", Ji, Ji, w)
@@ -83,11 +104,11 @@ def _optimize_pose_graph_dense(prob: PoseGraphProblem, n_iters: int = 20,
         bj = jnp.einsum("eri,er,e->ei", Jj, r, w)
 
         H = jnp.zeros((K, 7, K, 7))
-        H = H.at[prob.edge_i, :, prob.edge_i, :].add(Hii)
-        H = H.at[prob.edge_j, :, prob.edge_j, :].add(Hjj)
-        H = H.at[prob.edge_i, :, prob.edge_j, :].add(Hij)
-        H = H.at[prob.edge_j, :, prob.edge_i, :].add(jnp.swapaxes(Hij, -1, -2))
-        b = jnp.zeros((K, 7)).at[prob.edge_i].add(bi).at[prob.edge_j].add(bj)
+        H = H.at[edge_i, :, edge_i, :].add(Hii)
+        H = H.at[edge_j, :, edge_j, :].add(Hjj)
+        H = H.at[edge_i, :, edge_j, :].add(Hij)
+        H = H.at[edge_j, :, edge_i, :].add(jnp.swapaxes(Hij, -1, -2))
+        b = jnp.zeros((K, 7)).at[edge_i].add(bi).at[edge_j].add(bj)
 
         Hd = H.reshape(K * 7, K * 7)
         bd = b.reshape(K * 7)
@@ -139,60 +160,61 @@ def _optimize_pose_graph_cg(prob: PoseGraphProblem, anc: jnp.ndarray,
 
     free = (prob.vertex_valid & ~prob.vertex_fixed)
     freef = free.astype(jnp.float32)[:, None]                # (K, 1)
+    # invalid/padded edges made numerically inert (see _sanitized_edges)
+    edge_i, edge_j, edge_Sji = _sanitized_edges(prob)
     # one (K, 2E) one-hot covering both endpoint roles: columns [0, E) are
     # edge i-endpoints, [E, 2E) j-endpoints -> one GEMM per expand/reduce.
-    ends = jnp.concatenate([prob.edge_i, prob.edge_j])
+    # All GEMMs here are FULL f32 (Precision.HIGHEST): pose-graph CG needs
+    # ~1e-6 matvec accuracy or it stalls meters short (round 2's bf16-limb
+    # GEMMs, measured on TPU: 12.2 -> 8.4 m at K=256 vs f32's 0.007 m);
+    # the matrices are tiny, precision costs nothing here.
+    HI = jax.lax.Precision.HIGHEST
+    ends = jnp.concatenate([edge_i, edge_j])
     oh = (jnp.arange(K, dtype=jnp.int32)[:, None] == ends[None, :]
-          ).astype(jnp.bfloat16)                             # (K, 2E)
+          ).astype(jnp.float32)                              # (K, 2E)
     w = jnp.where(prob.edge_valid, prob.edge_weight, 0.0)
 
     # P = diag(free) A diag(free) as masked ancestor indicator (K, K)
     P = anc.astype(jnp.float32) * freef * freef[:, 0][None, :]
-    Pb = P.astype(jnp.bfloat16)
 
     def apply_P(u):
-        """x = P u, (K, 7); exact (0/1 matrix, 2-limb f32 operand)."""
-        out = None
-        for part in _split_bf16(u, 2):
-            o = jax.lax.dot_general(Pb, part, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            out = o if out is None else out + o
-        return out
+        """x = P u, (K, 7)."""
+        return jax.lax.dot_general(P, u, (((1,), (0,)), ((), ())),
+                                   precision=HI)
 
     def apply_Pt(x):
-        out = None
-        for part in _split_bf16(x, 2):
-            o = jax.lax.dot_general(Pb, part, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            out = o if out is None else out + o
-        return out
+        return jax.lax.dot_general(P, x, (((0,), (0,)), ((), ())),
+                                   precision=HI)
 
-    def expand(x, k):
+    def expand(x):
         """(K, n) -> i-cols (E, n), j-cols (E, n) in one GEMM."""
-        both = _oh_expand(oh, x.T, k)                        # (n, 2E)
-        return both[:, :E].T, both[:, E:].T
+        both = jax.lax.dot_general(oh, x, (((0,), (0,)), ((), ())),
+                                   precision=HI)             # (2E, n)
+        return both[:E], both[E:]
 
-    def reduce_(yi, yj, k):
+    def reduce_(yi, yj):
         """i-cols (E, n) + j-cols (E, n) -> (K, n) in one GEMM."""
-        return _oh_reduce(oh, jnp.concatenate([yi, yj], 0).T, k).T
+        y = jnp.concatenate([yi, yj], 0)                     # (2E, n)
+        return jax.lax.dot_general(oh, y, (((1,), (0,)), ((), ())),
+                                   precision=HI)
 
     def body(_, S):
-        Se_i, Se_j = expand(S.reshape(K, 16), 3)             # full-f32 poses
+        Se_i, Se_j = expand(S.reshape(K, 16))                # full-f32 poses
         Se_i = Se_i.reshape(E, 4, 4)
         Se_j = Se_j.reshape(E, 4, 4)
-        r = err_fn(zero7, zero7, Se_i, Se_j, prob.edge_Sji)  # (E, 7)
-        Ji = Ji_fn(zero7, zero7, Se_i, Se_j, prob.edge_Sji)  # (E, 7, 7)
-        Jj = Jj_fn(zero7, zero7, Se_i, Se_j, prob.edge_Sji)
+        r = err_fn(zero7, zero7, Se_i, Se_j, edge_Sji)       # (E, 7)
+        Ji = Ji_fn(zero7, zero7, Se_i, Se_j, edge_Sji)       # (E, 7, 7)
+        Jj = Jj_fn(zero7, zero7, Se_i, Se_j, edge_Sji)
 
         Hii = jnp.einsum("eri,erj,e->eij", Ji, Ji, w)
         Hjj = jnp.einsum("eri,erj,e->eij", Jj, Jj, w)
         Hij = jnp.einsum("eri,erj,e->eij", Ji, Jj, w)
         bi = jnp.einsum("eri,er,e->ei", Ji, r, w)
         bj = jnp.einsum("eri,er,e->ei", Jj, r, w)
-        b = reduce_(bi, bj, 2) * freef                       # (K, 7)
+        b = reduce_(bi, bj) * freef                          # (K, 7)
 
         # Levenberg scale from the absolute-space block diagonal
-        D = reduce_(Hii.reshape(E, 49), Hjj.reshape(E, 49), 2).reshape(K, 7, 7)
+        D = reduce_(Hii.reshape(E, 49), Hjj.reshape(E, 49)).reshape(K, 7, 7)
         tr = jnp.sum(jnp.trace(D, axis1=-2, axis2=-1) * freef[:, 0])
         nfree = jnp.maximum(jnp.sum(freef), 1.0)
         lam = damping * tr / (7.0 * nfree) + 1e-10
@@ -201,12 +223,12 @@ def _optimize_pose_graph_cg(prob: PoseGraphProblem, anc: jnp.ndarray,
         def matvec_x(x):
             """H x + lam x on the free subspace (absolute coordinates)."""
             xm = x * freef
-            xe_i, xe_j = expand(xm, 2)
+            xe_i, xe_j = expand(xm)
             yi = (jnp.einsum("eij,ej->ei", Hii, xe_i)
                   + jnp.einsum("eij,ej->ei", Hij, xe_j))
             yj = (jnp.einsum("eji,ej->ei", Hij, xe_i)
                   + jnp.einsum("eij,ej->ei", Hjj, xe_j))
-            return (reduce_(yi, yj, 2) + lam * xm) * freef
+            return (reduce_(yi, yj) + lam * xm) * freef
 
         def matvec_u(v):
             return apply_Pt(matvec_x(apply_P(v)))
@@ -215,18 +237,15 @@ def _optimize_pose_graph_cg(prob: PoseGraphProblem, anc: jnp.ndarray,
         # D_u[a] = sum_e [Pi_a Hii + Pi_a Pj_a (Hij + Hij^T) + Pj_a Hjj]
         # with Pi = P[edge_i] (E, K) 0/1 path indicators (Pi^2 = Pi).
         Pi = jax.lax.dot_general(
-            oh[:, :E], Pb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (E, K)
+            oh[:, :E], P, (((0,), (0,)), ((), ())), precision=HI)  # (E, K)
         Pj = jax.lax.dot_general(
-            oh[:, E:], Pb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            oh[:, E:], P, (((0,), (0,)), ((), ())), precision=HI)
         Hsym = (Hij + jnp.swapaxes(Hij, -1, -2)).reshape(E, 49)
 
         def du_gemm(coef, blk49):
             return jax.lax.dot_general(
-                coef.astype(jnp.bfloat16), blk49.astype(jnp.bfloat16),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (K, 49)
+                coef, blk49, (((0,), (0,)), ((), ())),
+                precision=HI)                                # (K, 49)
 
         D_u = (du_gemm(Pi, Hii.reshape(E, 49))
                + du_gemm(Pi * Pj, Hsym)
@@ -243,9 +262,22 @@ def _optimize_pose_graph_cg(prob: PoseGraphProblem, anc: jnp.ndarray,
         rhs = -apply_Pt(b)
         x0 = jnp.zeros_like(rhs)
         z0 = precond(rhs)
+        rz0 = jnp.sum(rhs * z0)
+        # residual-based stopping: run until the preconditioned residual
+        # norm has dropped 1e8x (residual ~1e-4 relative — inner accuracy
+        # comparable to the dense Cholesky at f32) or the cap. Late GN
+        # iterations exit in a handful of steps, so the AVERAGE per-GN
+        # cost stays far below the cap even though the first iterations
+        # may need O(K) steps (round-2 used a fixed K/4 schedule, which
+        # left meters of residual drift at KITTI-00 scale).
+        tol = 1e-8 * jnp.maximum(rz0, 0.0) + 1e-30
 
-        def cg_body(_, st):
-            x, rr, z, p, rz = st
+        def cg_cond(st):
+            i, x, rr, z, p, rz = st
+            return (i < cg_iters) & (rz > tol)
+
+        def cg_body(st):
+            i, x, rr, z, p, rz = st
             Ap = matvec_u(p)
             pAp = jnp.sum(p * Ap)
             alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
@@ -255,17 +287,19 @@ def _optimize_pose_graph_cg(prob: PoseGraphProblem, anc: jnp.ndarray,
             rz_new = jnp.sum(rr * z)
             beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
             p = z + beta * p
-            return x, rr, z, p, rz_new
+            return i + 1, x, rr, z, p, rz_new
 
-        st = (x0, rhs, z0, z0, jnp.sum(rhs * z0))
-        u = jax.lax.fori_loop(0, cg_iters, cg_body, st)[0]
+        st = (jnp.int32(0), x0, rhs, z0, z0, rz0)
+        u = jax.lax.while_loop(cg_cond, cg_body, st)[1]
         dx = apply_P(u) * freef
-        # GN safeguarding: an inexact CG step on a hard graph can overshoot;
-        # cap the largest per-vertex tangent step (rotation+scale part) so
-        # exp stays in its domain of validity. Pure scaling, no branching.
-        step = jnp.sqrt(jnp.sum(dx * dx, axis=1))
-        smax = jnp.max(step)
-        scale = jnp.where(smax > 1.0e1, 1.0e1 / smax, 1.0)
+        # GN safeguarding: cap only the ROTATION+SCALE tangent (phi, sigma
+        # = dx[:, 3:7]) so exp_sim3 stays in its domain; translation steps
+        # are linear-safe at any magnitude and a KITTI-00 loop legitimately
+        # needs tens-of-meter corrections (round 2 capped the FULL tangent
+        # at 10, throttling exactly those corrections).
+        rot = jnp.sqrt(jnp.sum(dx[:, 3:7] ** 2, axis=1))
+        rmax = jnp.max(rot)
+        scale = jnp.where(rmax > 1.5, 1.5 / rmax, 1.0)
         dx = dx * scale
         return jax.vmap(lambda d, s: exp_sim3(d) @ s)(dx, S)
 
@@ -354,5 +388,8 @@ def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20,
         parent = _spanning_tree_from_edges(prob)
     anc = jnp.asarray(_ancestor_matrix(parent, K))
     if not cg_iters:
-        cg_iters = int(min(max(K // 4, 64), 512))
+        # iteration CAP, not schedule: residual-based stopping exits early.
+        # 2K covers the measured worst case (K iterations reach the f32
+        # convergence plateau on KITTI-00-scale circle graphs).
+        cg_iters = int(min(max(2 * K, 256), 8192))
     return _optimize_pose_graph_cg(prob, anc, n_iters, cg_iters, damping)

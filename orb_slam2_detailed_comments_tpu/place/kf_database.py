@@ -1,15 +1,20 @@
 """Keyframe database for loop/relocalization candidate retrieval.
 
 TPU-native replacement for KeyFrameDatabase
-(reference: src/KeyFrameDatabase.cc). The reference's inverted index
-word->list<KF> becomes a dense (KF_cap, W) bag-of-words matrix: shared-word
-counting and L1 scoring are both single matmuls/reductions over it — the
-selection cascade (0.8*maxCommonWords, minScore, covisibility-group
-accumulation, 0.75*bestAccScore) is unchanged.
+(reference: src/KeyFrameDatabase.cc). Round 3 restored the reference's
+SPARSE inverted index (word -> keyframe list, KeyFrameDatabase.h:103-105):
+round 2's dense (KF_cap, n_words) matrix was one matmul per query, but at
+ORBvoc scale (10^6 words x 1024 KFs) it is 4 GB — the inverted index is
+exactly the sparsity that makes big vocabularies viable. Per-keyframe
+bags are stored as fixed-cap (word_id, weight) arrays (a keyframe has at
+most n_features distinct words, ~10^2-10^3 << n_words); shared-word
+counting walks only the query's word lists, and L1 scores are gathered
+per candidate. The selection cascade (0.8*maxCommonWords, minScore,
+covisibility-group accumulation, 0.75*bestAccScore) is unchanged.
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Dict, List
 
 import numpy as np
 
@@ -17,36 +22,108 @@ from .vocabulary import BinaryVocabulary
 
 
 class KeyFrameDatabase:
-    def __init__(self, voc: BinaryVocabulary, max_keyframes: int):
+    def __init__(self, voc: BinaryVocabulary, max_keyframes: int,
+                 per_kf_word_cap: int = 2048):
         self.voc = voc
-        self.bow = np.zeros((max_keyframes, voc.n_words), np.float32)
-        self.has_word = np.zeros((max_keyframes, voc.n_words), bool)
+        self.KF_CAP = max_keyframes
+        self.W_CAP = per_kf_word_cap
+        # sparse per-KF bags: word ids (pad 0) + weights (pad 0.0) — a
+        # padded slot contributes min(0, q)=0 to the L1 score by design
+        self.kf_words = np.zeros((max_keyframes, per_kf_word_cap), np.int64)
+        self.kf_weights = np.zeros((max_keyframes, per_kf_word_cap),
+                                   np.float32)
+        self.kf_n_words = np.zeros(max_keyframes, np.int32)
         self.active = np.zeros(max_keyframes, bool)
+        # inverted index: word -> list of keyframes containing it
+        # (reference: mvInvertedFile, KeyFrameDatabase.h:103-105); erased
+        # keyframes stay in the lists and are masked by `active` (lazy,
+        # reclaimed on overwrite via add())
+        self.inv: Dict[int, List[int]] = {}
 
     def add(self, kf: int, bow: np.ndarray) -> None:
-        self.bow[kf] = bow
-        self.has_word[kf] = bow > 0
+        words = np.nonzero(bow > 0)[0]
+        if words.size > self.W_CAP:
+            # keep the heaviest words (never expected: distinct words per
+            # KF <= feature count <= W_CAP)
+            order = np.argsort(-bow[words])[: self.W_CAP]
+            words = np.sort(words[order])
+        n = words.size
+        self.kf_words[kf, :n] = words
+        self.kf_words[kf, n:] = 0
+        self.kf_weights[kf, :n] = bow[words]
+        self.kf_weights[kf, n:] = 0.0
+        self.kf_n_words[kf] = n
         self.active[kf] = True
+        for w in words:
+            self.inv.setdefault(int(w), []).append(kf)
 
     def erase(self, kf: int) -> None:
         self.active[kf] = False
 
     def clear(self) -> None:
         self.active[:] = False
+        self.kf_n_words[:] = 0
+        self.inv.clear()
 
     # ------------------------------------------------------------------
 
-    def _common_words_and_scores(self, bow_q: np.ndarray):
-        q_has = bow_q > 0
-        common = (self.has_word & q_has[None, :]).sum(axis=1)
-        scores = np.minimum(self.bow, bow_q[None, :]).sum(axis=1)
-        return common, scores
+    def _common_words(self, bow_q: np.ndarray) -> np.ndarray:
+        """Shared-word counts via the inverted index: walk only the
+        query's word lists (reference: KeyFrameDatabase.cc:129-151)."""
+        counts = np.zeros(self.KF_CAP, np.int32)
+        for w in np.nonzero(bow_q > 0)[0]:
+            lst = self.inv.get(int(w))
+            if lst:
+                # a KF appears at most once per word list -> plain fancy
+                # add is duplicate-free
+                counts[lst] += 1
+        return counts
+
+    def _scores_for(self, kfs: np.ndarray, bow_q: np.ndarray) -> np.ndarray:
+        """L1 similarity sum(min(v_kf, v_q)) for the given keyframes only
+        (pad slots have weight 0 -> contribute 0)."""
+        if kfs.size == 0:
+            return np.zeros(0, np.float32)
+        w = self.kf_words[kfs]                  # (m, W_CAP)
+        return np.minimum(self.kf_weights[kfs], bow_q[w]).sum(axis=1)
+
+    def _score_map(self, kfs, bow_q):
+        s = self._scores_for(np.asarray(kfs, np.int64), bow_q)
+        return {int(k): float(v) for k, v in zip(kfs, s)}
+
+    def _group_cascade(self, cand: np.ndarray, common: np.ndarray,
+                       min_common: int, mask: np.ndarray, bow_q: np.ndarray,
+                       map_store) -> List[int]:
+        """Covisibility-group accumulation + 0.75*bestAccScore filter
+        (reference: KeyFrameDatabase.cc:186-263)."""
+        need = set(int(c) for c in cand)
+        groups = {}
+        for c in cand:
+            group = [int(c)] + [int(x) for x in map_store.get_covisible(int(c), 10)]
+            g = [x for x in group if mask[x] and common[x] > min_common]
+            groups[int(c)] = g
+            need.update(g)
+        scores = self._score_map(sorted(need), bow_q)
+        acc_scores = []
+        for c in cand:
+            g = groups[int(c)]
+            acc = sum(scores[x] for x in g) if g else scores[int(c)]
+            best_in_group = max(g, key=lambda x: scores[x]) if g else int(c)
+            acc_scores.append((acc, best_in_group))
+        best_acc = max(a for a, _ in acc_scores)
+        out = []
+        seen = set()
+        for acc, best_kf in acc_scores:
+            if acc > 0.75 * best_acc and best_kf not in seen:
+                seen.add(best_kf)
+                out.append(best_kf)
+        return out
 
     def detect_loop_candidates(self, kf: int, bow_q: np.ndarray, min_score: float,
                                covisible: np.ndarray, map_store) -> List[int]:
         """reference: KeyFrameDatabase::DetectLoopCandidates
         (KeyFrameDatabase.cc:114-263)."""
-        common, scores = self._common_words_and_scores(bow_q)
+        common = self._common_words(bow_q)
         mask = self.active.copy()
         mask[kf] = False
         mask[covisible] = False  # exclude the covisible neighborhood
@@ -54,31 +131,21 @@ class KeyFrameDatabase:
         if common.max(initial=0) == 0:
             return []
         min_common = int(0.8 * common.max())
-        cand = np.nonzero(mask & (common > min_common) & (scores >= min_score))[0]
+        pre = np.nonzero(mask & (common > min_common))[0]
+        if pre.size == 0:
+            return []
+        pre_scores = self._scores_for(pre, bow_q)
+        cand = pre[pre_scores >= min_score]
         if cand.size == 0:
             return []
-        # accumulate scores over top-10 covisibility groups (reference :186-229)
-        acc_scores = []
-        for c in cand:
-            group = [int(c)] + [int(x) for x in map_store.get_covisible(int(c), 10)]
-            g = [x for x in group if mask[x] and common[x] > min_common]
-            acc = float(scores[g].sum()) if g else float(scores[c])
-            best_in_group = int(max(g, key=lambda x: scores[x])) if g else int(c)
-            acc_scores.append((acc, best_in_group))
-        best_acc = max(a for a, _ in acc_scores)
-        out = []
-        seen = set()
-        for acc, best_kf in acc_scores:
-            if acc > 0.75 * best_acc and best_kf not in seen:
-                seen.add(best_kf)
-                out.append(best_kf)
-        return out
+        return self._group_cascade(cand, common, min_common, mask, bow_q,
+                                   map_store)
 
     def detect_relocalization_candidates(self, bow_q: np.ndarray, map_store) -> List[int]:
         """reference: KeyFrameDatabase::DetectRelocalizationCandidates
         (KeyFrameDatabase.cc:274-411) — same cascade without covisibility
         exclusion or minScore."""
-        common, scores = self._common_words_and_scores(bow_q)
+        common = self._common_words(bow_q)
         common = np.where(self.active, common, 0)
         if common.max(initial=0) == 0:
             return []
@@ -86,18 +153,5 @@ class KeyFrameDatabase:
         cand = np.nonzero(self.active & (common > min_common))[0]
         if cand.size == 0:
             return []
-        acc_scores = []
-        for c in cand:
-            group = [int(c)] + [int(x) for x in map_store.get_covisible(int(c), 10)]
-            g = [x for x in group if self.active[x] and common[x] > min_common]
-            acc = float(scores[g].sum()) if g else float(scores[c])
-            best_in_group = int(max(g, key=lambda x: scores[x])) if g else int(c)
-            acc_scores.append((acc, best_in_group))
-        best_acc = max(a for a, _ in acc_scores)
-        out = []
-        seen = set()
-        for acc, best_kf in acc_scores:
-            if acc > 0.75 * best_acc and best_kf not in seen:
-                seen.add(best_kf)
-                out.append(best_kf)
-        return out
+        return self._group_cascade(cand, common, min_common, self.active,
+                                   bow_q, map_store)

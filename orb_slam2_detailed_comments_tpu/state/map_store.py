@@ -66,6 +66,10 @@ class MapStore:
         self.covis = np.zeros((KF, KF), np.int32)
         self.parent = np.full(KF, -1, np.int32)
         self.loop_edges: set = set()
+        # bumped whenever a whole-map correction rewrites poses (loop
+        # correction, GBA merge): an off-lock local-BA solve built before
+        # the bump must discard its merge (its linearization is stale)
+        self.pose_epoch = 0
         # soft-delete protection during loop closing (reference
         # KeyFrame::SetNotErase/SetErase, KeyFrame.h:289-301)
         self.kf_not_erase = np.zeros(KF, bool)

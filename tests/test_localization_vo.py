@@ -87,6 +87,45 @@ class TestLocalizationVO:
         assert slam.map.n_kf == n_kf
         assert slam.map.n_map_points() <= n_mp  # culling may shrink, never grow
 
+    def test_track_local_map_tightens_localization_pose(self, run):
+        """Round-3 parity (reference: Tracking.cc:640-649): in localization
+        mode, whenever not in degraded VO, the pose must be refined against
+        the LOCAL MAP, not just the motion-model matches. A/B on the same
+        mapped stretch: bypassing _track_local_map must not beat the real
+        path, and the real path must be tight."""
+        slam, n_kf, n_mp, away_states, vo_engaged, back_log = run
+        tracker = slam.tracker
+        assert tracker.localization_only
+        world = PlanesWorld(fx=500.0, fy=500.0, cx=160.0, cy=120.0,
+                            width=320, height=240, texture_seed=33,
+                            tex_scale=60.0)
+        xs = np.arange(0.4, 0.9, 0.05)
+
+        def run_pass(bypass, t0):
+            errs = []
+            orig = tracker._track_local_map
+            if bypass:
+                tracker._track_local_map = lambda frame: True
+            try:
+                for j, (x, T) in enumerate(zip(xs, make_poses(xs))):
+                    slam.track_rgbd(world.render(T), world.render_depth(T),
+                                    t0 + j * 0.1)
+                    Tcw = tracker.last_frame.Tcw
+                    if (slam.tracking_state == TrackingState.OK
+                            and not tracker.vo_mode and Tcw is not None):
+                        C = np.linalg.inv(Tcw)[:3, 3]
+                        errs.append(np.linalg.norm(C - [x, 0.0, 0.0]))
+            finally:
+                tracker._track_local_map = orig
+            return errs
+
+        err_bypass = run_pass(True, 80.0)
+        err_real = run_pass(False, 90.0)
+        assert err_real and err_bypass
+        assert np.median(err_real) <= np.median(err_bypass) + 1e-6, \
+            (np.median(err_real), np.median(err_bypass))
+        assert np.median(err_real) < 0.02, np.median(err_real)
+
     def test_reattaches_on_return(self, run):
         slam, n_kf, n_mp, away_states, vo_engaged, back_log = run
         # somewhere on the way back the parallel relocalization must clear

@@ -184,6 +184,106 @@ class TestLoopClosing:
         assert (min(kf, 0), max(kf, 0)) in ms.loop_edges
 
 
+class TestLoopConnectionEdgeClass:
+    """Essential-graph edge-class fidelity (reference: LoopClosing.cc:
+    900-946 builds LoopConnections from the post-fusion covisibility diff;
+    Optimizer.cc:1137-1160 measures those edges from CORRECTED poses).
+    A cross-loop pair that reaches covis>=100 through SearchAndFuse must
+    NOT enter as an odometry-class edge: its pre-correction relative pose
+    encodes the full accumulated drift and fights the loop correction."""
+    N = 40
+
+    def _world(self, seed=21, drift=0.03):
+        rng = np.random.default_rng(seed)
+        cfg = SlamConfig(camera=CAM, orb=OrbConfig(n_features=60, max_keypoints=64),
+                         max_keyframes=64, max_map_points=64, fps=10.0)
+        ms = MapStore(cfg)
+        n = self.N
+
+        def gt_pose(k):
+            ang = 2 * np.pi * k / n
+            R = np.asarray(exp_so3(jnp.asarray([0.0, ang, 0.0], dtype=jnp.float32)))
+            C = 5.0 * np.array([np.sin(ang), 0.0, 1 - np.cos(ang)], np.float32)
+            return np.asarray(make_se3(jnp.asarray(R), jnp.asarray(-R @ C)), np.float32)
+
+        gt = [gt_pose(k) for k in range(n)]
+        est = [gt[0]]
+        for k in range(1, n):
+            rel = gt[k] @ np.linalg.inv(gt[k - 1])
+            noise = np.asarray(make_se3(
+                exp_so3(jnp.asarray(rng.normal(0, 0.002, 3), dtype=jnp.float32)),
+                jnp.asarray(rng.normal(0, drift, 3), dtype=jnp.float32)))
+            est.append((noise @ rel @ est[-1]).astype(np.float32))
+
+        kp_cap = cfg.orb.max_keypoints
+        for k in range(n):
+            frame = FrameData(
+                frame_id=k, timestamp=0.1 * k,
+                xy=np.zeros((kp_cap, 2), np.float32),
+                response=np.zeros(kp_cap, np.float32),
+                octave=np.zeros(kp_cap, np.int32),
+                angle=np.zeros(kp_cap, np.float32),
+                desc=np.zeros((kp_cap, 8), np.uint32),
+                valid=np.zeros(kp_cap, bool),
+                ur=np.full(kp_cap, -1.0, np.float32),
+                depth=np.full(kp_cap, -1.0, np.float32),
+                Tcw=est[k].copy(),
+            )
+            ms.add_keyframe(frame)
+            if k > 0:
+                ms.parent[k] = k - 1
+                ms.covis[k, k - 1] = ms.covis[k - 1, k] = 150
+        return cfg, ms, gt, est
+
+    def _close(self, with_loop_connections, seed=21, n_cross=4):
+        cfg, ms, gt, est = self._world(seed=seed)
+        n = self.N
+        kf, loop_kf = n - 1, 0
+        # exact Sim3 loop measurement: loop-kf cam -> current cam
+        S_cl = (gt[kf] @ np.linalg.inv(gt[0])).astype(np.float32)
+        Scw_corr = (S_cl @ ms.kf_Tcw[loop_kf]).astype(np.float32)
+        group = [kf - i for i in range(1 + n_cross)]
+        T_w_cur = np.linalg.inv(est[kf]).astype(np.float32)
+        corrected, uncorrected = {}, {}
+        for g in group:
+            uncorrected[g] = est[g].copy()
+            corrected[g] = ((est[g] @ T_w_cur) @ Scw_corr).astype(np.float32)
+        from orb_slam2_detailed_comments_tpu.geometry.sim3 import sim3_to_se3
+        for g in group:
+            ms.kf_Tcw[g] = np.asarray(sim3_to_se3(jnp.asarray(corrected[g])),
+                                      np.float32)
+        # SearchAndFuse created strong cross-loop connections (kf-i, i):
+        # at revisit density, every corrected-group member links to the
+        # loop side with covis >= 100
+        loop_connections = {kf: {loop_kf}}
+        for i in range(1, 1 + n_cross):
+            ms.covis[kf - i, i] = ms.covis[i, kf - i] = 150
+            loop_connections[kf - i] = {i}
+        lc = LoopCloser(cfg, ms, None, None, fix_scale=True)
+        lc._optimize_essential_graph(
+            kf, loop_kf, corrected, uncorrected,
+            loop_connections if with_loop_connections else None)
+        t_err = np.linalg.norm(
+            np.stack([np.linalg.inv(ms.kf_Tcw[k])[:3, 3] for k in range(n)])
+            - np.stack([np.linalg.inv(gt[k])[:3, 3] for k in range(n)]),
+            axis=1)
+        e_init = np.linalg.norm(
+            np.stack([np.linalg.inv(est[k])[:3, 3] for k in range(n)])
+            - np.stack([np.linalg.inv(gt[k])[:3, 3] for k in range(n)]),
+            axis=1)
+        return float(t_err.mean()), float(e_init.mean())
+
+    @pytest.mark.parametrize("seed", [5, 9])
+    def test_corrected_measurement_beats_drift_contaminated(self, seed):
+        err_new, e_init = self._close(with_loop_connections=True, seed=seed)
+        err_old, _ = self._close(with_loop_connections=False, seed=seed)
+        # the odometry-class measurements of the fused pairs pull the
+        # solution back toward the drift (measured: ~3x worse); loop-class
+        # measurements must land decisively closer to ground truth
+        assert err_new < 0.5 * err_old, (err_new, err_old, e_init)
+        assert err_new < 0.55 * e_init, (err_new, e_init)
+
+
 class TestLoopAcceptanceCount:
     """Pin the >=40 acceptance semantics (reference: LoopClosing.cc:594-655):
     the total counts keypoints already matched by the Sim3 stage PLUS new

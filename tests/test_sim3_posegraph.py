@@ -150,7 +150,10 @@ class TestPoseGraphCG:
                           for i in range(Kn)])
         err_opt = np.linalg.norm(t_opt - t_true, axis=1)
         err_init = np.linalg.norm(t_est - t_true, axis=1)
-        assert err_opt.mean() < 0.25 * err_init.mean(), (err_opt.mean(), err_init.mean())
+        # near-dense parity: the residual-stopped CG inner solve must land
+        # within 1% of the initial drift (round 2's 0.25x bar hid a solver
+        # that left meters of residual at KITTI-00 scale — VERDICT r2 §W1)
+        assert err_opt.mean() < 0.01 * err_init.mean(), (err_opt.mean(), err_init.mean())
         scales = np.array([float(sim3_scale(jnp.asarray(S_opt[i]))) for i in range(Kn)])
         assert np.abs(scales - 1.0).max() < 0.05
 
