@@ -136,5 +136,5 @@ def run(Kn, backend, n_iters=10):
 if __name__ == "__main__":
     print("devices:", jax.devices())
     for Kn, backend in [(256, "dense"), (256, "cg"), (704, "cg"),
-                        (1408, "cg")]:
-        run(Kn, backend)
+                        (704, "banded"), (1408, "cg"), (1408, "banded")]:
+        run(Kn, backend, n_iters=20 if backend == "banded" else 10)

@@ -136,11 +136,35 @@ class TestPoseGraphCG:
         S_cg = np.asarray(optimize_pose_graph(prob, n_iters=15, backend="cg"))
         np.testing.assert_allclose(S_cg, S_dense, atol=2e-3)
 
-    def test_large_graph_routes_to_cg_and_converges(self):
-        """KITTI-00-class vertex count (auto-routes past DENSE_MAX_VERTICES):
-        drift must be distributed and endpoints must satisfy the loop."""
+    def test_cg_backend_converges_at_scale(self):
+        """The relative-coordinate PCG backend (fallback when a graph
+        doesn't band) must reach near-dense accuracy at K past
+        DENSE_MAX_VERTICES."""
         Kn = 320
         prob, S_true, S_est = _circle_problem(Kn, seed=13, drift=0.01)
+        S_opt = np.asarray(optimize_pose_graph(prob, n_iters=12,
+                                               backend="cg"))
+        t_opt = np.stack([np.asarray(sim3_translation(jnp.asarray(S_opt[i])))
+                          for i in range(Kn)])
+        t_true = np.stack([np.asarray(sim3_translation(jnp.asarray(S_true[i])))
+                           for i in range(Kn)])
+        t_est = np.stack([np.asarray(sim3_translation(jnp.asarray(S_est[i])))
+                          for i in range(Kn)])
+        err_opt = np.linalg.norm(t_opt - t_true, axis=1)
+        err_init = np.linalg.norm(t_est - t_true, axis=1)
+        assert err_opt.mean() < 0.01 * err_init.mean(), \
+            (err_opt.mean(), err_init.mean())
+
+    def test_large_graph_routes_to_banded_and_converges(self):
+        """KITTI-00-class vertex count (auto-routes past DENSE_MAX_VERTICES
+        to the banded+Woodbury direct solver): drift must be distributed
+        and endpoints must satisfy the loop, at near-dense accuracy (the
+        inner solve is exact — round-3 bar is 1% of initial drift)."""
+        Kn = 320
+        prob, S_true, S_est = _circle_problem(Kn, seed=13, drift=0.01)
+        from orb_slam2_detailed_comments_tpu.optim.pose_graph import (
+            _partition_edges_banded)
+        assert _partition_edges_banded(prob) is not None  # auto -> banded
         S_opt = np.asarray(optimize_pose_graph(prob, n_iters=12))
         t_opt = np.stack([np.asarray(sim3_translation(jnp.asarray(S_opt[i])))
                           for i in range(Kn)])
