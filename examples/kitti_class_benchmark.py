@@ -44,8 +44,17 @@ import numpy as np
 
 
 def run(n_frames=1000, width=640, height=480, features=2000, radius=50.0,
-        laps=2.0, path_ratio=0.5, seed=0, progress=True):
-    """Returns a result dict (ate, travel, fractions, loop stats)."""
+        laps=2.0, path_ratio=0.5, seed=0, progress=True, sensor="stereo"):
+    """Returns a result dict (ate, travel, fractions, loop stats).
+
+    sensor="stereo" (default, the KITTI modality): the right image is
+    RENDERED from the baseline-offset pose and the full row-bucket/SAD
+    stereo matching kernel (ops/stereo.py) runs at flagship scale —
+    the component KITTI parity actually depends on (reference:
+    Frame.cc:880-1176). sensor="rgbd" keeps the round-2 perfect-depth
+    variant for A/B. sensor="mono" runs the monocular pipeline
+    (free-scale Sim3 loops, scale-aligned ATE, per-lap scale-drift
+    stats — the long-run regime VERDICT r2 task 9 asked for)."""
     from synthetic_world import CylinderWorld, loop_trajectory
     from orb_slam2_detailed_comments_tpu.evaluation.ate import ate_rmse
     from orb_slam2_detailed_comments_tpu.frontend.tracking import (
@@ -74,15 +83,29 @@ def run(n_frames=1000, width=640, height=480, features=2000, radius=50.0,
         orb=OrbConfig(n_features=features, max_keypoints=kp_cap),
         fps=10.0, th_depth=40.0,
         max_keyframes=1024, max_map_points=200000)
-    slam = System(cfg, Sensor.RGBD, enable_loop_closing=True,
+    stereo = sensor == "stereo"
+    mono = sensor == "mono"
+    sen = (Sensor.STEREO if stereo
+           else Sensor.MONOCULAR if mono else Sensor.RGBD)
+    slam = System(cfg, sen, enable_loop_closing=True,
                   enable_global_ba_on_loop=True)
+    # right camera: baseline-offset along the camera x-axis
+    # (x_cam_right = x_cam_left - b  ->  Tcw_r = Tb @ Tcw_l)
+    Tb = np.eye(4, dtype=np.float32)
+    Tb[0, 3] = -baseline
 
     est, gt, states = [], [], []
     t_start = time.perf_counter()
     for i in range(n_frames):
         img = world.render(poses[i])
-        depth = world.render_depth(poses[i])
-        Tcw = slam.track_rgbd(img, depth, i * 0.1)
+        if stereo:
+            img_r = world.render((Tb @ poses[i]).astype(np.float32))
+            Tcw = slam.track_stereo(img, img_r, i * 0.1)
+        elif mono:
+            Tcw = slam.track_monocular(img, i * 0.1)
+        else:
+            depth = world.render_depth(poses[i])
+            Tcw = slam.track_rgbd(img, depth, i * 0.1)
         states.append(slam.tracking_state)
         if Tcw is not None and slam.tracking_state == TrackingState.OK:
             est.append(np.linalg.inv(Tcw)[:3, 3])
@@ -108,11 +131,22 @@ def run(n_frames=1000, width=640, height=480, features=2000, radius=50.0,
     est_rec = np.asarray([np.linalg.inv(T)[:3, 3] for _, _, T in rec])
     gt_rec = np.asarray([-poses[f, :3, :3].T @ poses[f, :3, 3]
                          for f, _, _ in rec])
-    ate = float(ate_rmse(est_rec, gt_rec, with_scale=False))
-    ate_live = float(ate_rmse(est, gt, with_scale=False))
+    # mono: scale is unobservable -> scale-aligned ATE (reference paper
+    # evaluation does the same for the monocular rows)
+    ate = float(ate_rmse(est_rec, gt_rec, with_scale=mono))
+    ate_live = float(ate_rmse(est, gt, with_scale=mono)) if len(est) else -1.0
     n_ok = sum(1 for s in states if s == TrackingState.OK)
+    # state diagnostics: where tracking was not OK
+    not_ok = [i for i, s in enumerate(states) if s != TrackingState.OK]
+    streaks = []
+    for i in not_ok:
+        if streaks and i == streaks[-1][1] + 1:
+            streaks[-1][1] = i
+        else:
+            streaks.append([i, i])
     res = {
         "frames": n_frames, "resolution": f"{width}x{height}",
+        "sensor": sensor,
         "features": features, "travel_m": round(travel, 2),
         "ate_rmse_m": round(ate, 4),
         "ate_live_m": round(ate_live, 4),
@@ -122,11 +156,86 @@ def run(n_frames=1000, width=640, height=480, features=2000, radius=50.0,
         "map_points": int(slam.map.n_map_points()),
         "loops_closed": int(slam.loop_closer.n_loops_closed),
         "wall_s": round(time.perf_counter() - t_start, 1),
+        "lost_streaks": [(a, b) for a, b in streaks[:10]],
     }
+    if mono:
+        # per-lap scale drift: align each lap's recovered segment to gt
+        # with its own similarity; the lap-to-lap scale ratio is the drift
+        from orb_slam2_detailed_comments_tpu.evaluation.ate import (
+            align_umeyama)
+        fpl = n_frames / max(laps, 1.0)
+        lap_scales = []
+        rec_f = np.asarray([f for f, _, _ in rec])
+        for lap in range(int(round(laps))):
+            sel = np.nonzero((rec_f >= lap * fpl) & (rec_f < (lap + 1) * fpl))[0]
+            if sel.size > 10:
+                s, _, _ = align_umeyama(est_rec[sel], gt_rec[sel], True)
+                lap_scales.append(round(float(s), 4))
+        res["lap_scales"] = lap_scales
+        if len(lap_scales) >= 2:
+            res["scale_drift_pct"] = round(
+                100.0 * (lap_scales[-1] / lap_scales[0] - 1.0), 3)
+    disc = bow_discrimination(slam, poses)
+    if disc is not None:
+        res.update(disc)
     from orb_slam2_detailed_comments_tpu.utils import counters
     if counters.snapshot():
         res["truncations"] = counters.snapshot()
     return res
+
+
+def bow_discrimination(slam, poses):
+    """Place-recognition quality over the run (round-3 evidence ask): for
+    each keyframe with a true revisit (spatially close, temporally far),
+    compare its best true-revisit BoW score against its best FALSE score
+    (spatially far keyframe). Median margin > 1 means the vocabulary
+    separates revisits from perceptual aliasing at this scale."""
+    lc = slam.loop_closer
+    if lc is None or not lc.kf_bow:
+        return None
+    mp = slam.map
+    kfs = [k for k in lc.kf_bow if mp.kf_valid[k]]
+    if len(kfs) < 20:
+        return None
+    n_frames = len(poses)
+    fid = {k: int(mp.kf_frame_id[k]) for k in kfs}
+    C = {k: -poses[fid[k], :3, :3].T @ poses[fid[k], :3, 3] for k in kfs}
+    ordered = sorted(kfs, key=lambda k: fid[k])
+    steps = [np.linalg.norm(C[a] - C[b])
+             for a, b in zip(ordered[:-1], ordered[1:])]
+    step = float(np.median(steps)) if steps else 1.0
+    near_th, far_th = 3.0 * step, 10.0 * step
+    n_words = lc.voc.n_words
+    margins, trues, falses = [], [], []
+    for k in kfs:
+        ids_k, vals_k = lc.kf_bow[k]
+        dense_k = np.zeros(n_words, np.float32)
+        dense_k[ids_k] = vals_k
+        t_best, f_best, has_true = 0.0, 0.0, False
+        for j in kfs:
+            if j == k:
+                continue
+            d = float(np.linalg.norm(C[j] - C[k]))
+            sep = abs(fid[j] - fid[k])
+            ids_j, vals_j = lc.kf_bow[j]
+            s = float(np.minimum(dense_k[ids_j], vals_j).sum())
+            if d < near_th and sep > 0.2 * n_frames:
+                t_best, has_true = max(t_best, s), True
+            elif d > far_th:
+                f_best = max(f_best, s)
+        if has_true and f_best > 0:
+            margins.append(t_best / f_best)
+            trues.append(t_best)
+            falses.append(f_best)
+    if not margins:
+        return None
+    return {
+        "bow_true_revisit_score_median": round(float(np.median(trues)), 4),
+        "bow_best_false_score_median": round(float(np.median(falses)), 4),
+        "bow_margin_median": round(float(np.median(margins)), 3),
+        "bow_margin_p10": round(float(np.percentile(margins, 10)), 3),
+        "bow_pairs": len(margins),
+    }
 
 
 def main():
@@ -138,10 +247,12 @@ def main():
     ap.add_argument("--radius", type=float, default=50.0)
     ap.add_argument("--laps", type=float, default=2.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sensor", choices=("stereo", "rgbd"), default="stereo")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
     res = run(args.frames, args.width, args.height, args.features,
-              args.radius, laps=args.laps, seed=args.seed)
+              args.radius, laps=args.laps, seed=args.seed,
+              sensor=args.sensor)
     print(json.dumps(res))
     if args.json:
         with open(args.json, "w") as f:

@@ -10,7 +10,7 @@ rendered imagery — multiple synthetic worlds, textures and viewpoints —
 and writes it to the package data directory, where System loads it by
 default at construction.
 
-Usage:  python examples/train_default_vocabulary.py [out.npz] [--k 10 --L 4]
+Usage:  python examples/train_default_vocabulary.py [out.npz] [--k 10 --L 5]
 
 Runs on CPU (set ORB_FORCE_CPU=1 to force when a TPU is attached).
 """
@@ -48,22 +48,22 @@ def gather_descriptors(features=600, verbose=True):
         kp = extract_orb(jnp.asarray(img, jnp.float32), orb)
         descs.append(np.asarray(kp.desc)[np.asarray(kp.valid)])
 
-    # cylinder laps: four textures, outward yaw sweeps the full 360 deg
-    for seed in range(4):
+    # cylinder laps: six textures, outward yaw sweeps the full 360 deg
+    for seed in range(6):
         world = CylinderWorld(fx=180.0, fy=180.0, cx=160.0, cy=120.0,
                               width=320, height=240, radius=8.0,
                               texture_seed=seed)
-        for T in loop_trajectory(20, path_radius=4.0, overlap=0):
+        for T in loop_trajectory(24, path_radius=4.0, overlap=0):
             grab(world.render(T))
         if verbose:
             print(f"cylinder seed {seed}: {sum(map(len, descs))} descriptors",
                   flush=True)
 
-    # tilted-plane worlds: four textures, lateral sweeps
-    for seed in range(10, 14):
+    # tilted-plane worlds: six textures, lateral sweeps
+    for seed in range(10, 16):
         world = PlanesWorld(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
                             width=320, height=240, texture_seed=seed)
-        for T in smooth_trajectory(12, step=0.12, seed=seed):
+        for T in smooth_trajectory(16, step=0.12, seed=seed):
             grab(world.render(T))
         if verbose:
             print(f"planes seed {seed}: {sum(map(len, descs))} descriptors",
@@ -75,8 +75,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("out", nargs="?", default=DEFAULT_OUT)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--L", type=int, default=4)
-    ap.add_argument("--features", type=int, default=600)
+    ap.add_argument("--L", type=int, default=5)
+    ap.add_argument("--features", type=int, default=1000)
     args = ap.parse_args()
 
     from orb_slam2_detailed_comments_tpu.place.vocabulary_tree import TreeVocabulary

@@ -56,7 +56,10 @@ class LoopCloser:
         self.consistent_groups: List[Tuple[Set[int], int]] = []
         self.last_loop_kf = -1
         self.n_loops_closed = 0
-        self.kf_bow: Dict[int, np.ndarray] = {}
+        # per-KF bag-of-words stored SPARSE (ids, weights): dense bows at
+        # ORBvoc-scale vocabularies would cost n_words*4 bytes per KF
+        # (400 MB at 10^5 words x 1024 KFs)
+        self.kf_bow: Dict[int, tuple] = {}
 
     def reset(self):
         self.consistent_groups.clear()
@@ -69,7 +72,8 @@ class LoopCloser:
     def on_new_keyframe(self, kf: int) -> bool:
         """Returns True if a loop was detected and corrected."""
         _, bow = self.voc.transform(self.map.kf_desc[kf], self.map.kf_kp_valid[kf])
-        self.kf_bow[kf] = bow
+        ids = np.nonzero(bow > 0)[0]
+        self.kf_bow[kf] = (ids, bow[ids])
 
         closed = False
         candidates = self._detect_loop(kf, bow)
@@ -98,7 +102,8 @@ class LoopCloser:
             nb_bow = self.kf_bow.get(int(nb))
             if nb_bow is None:
                 continue
-            s = BinaryVocabulary.score(bow, nb_bow)
+            nb_ids, nb_vals = nb_bow
+            s = float(np.minimum(bow[nb_ids], nb_vals).sum())
             min_score = min(min_score, s)
 
         cands = self.kfdb.detect_loop_candidates(kf, bow, min_score, covis, self.map)
