@@ -247,7 +247,7 @@ def main():
     ap.add_argument("--radius", type=float, default=50.0)
     ap.add_argument("--laps", type=float, default=2.0)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--sensor", choices=("stereo", "rgbd"), default="stereo")
+    ap.add_argument("--sensor", choices=("stereo", "rgbd", "mono"), default="stereo")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
     res = run(args.frames, args.width, args.height, args.features,

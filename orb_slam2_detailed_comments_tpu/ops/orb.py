@@ -141,6 +141,7 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
     """
     import os
     use_onehot = os.environ.get("ORB_DESC_ONEHOT", "1") not in ("0", "false")
+    use_pallas_patch = os.environ.get("ORB_PATCH_PALLAS", "0") not in ("0", "false")
 
     wx39, wy39 = map(jnp.asarray, _ic_weights_39())
     x0, y0, x1, y1 = map(jnp.asarray, _pattern_arrays())
@@ -153,8 +154,13 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
     shifts = jnp.arange(32, dtype=jnp.uint32)
     iota_s = jnp.arange(psize, dtype=jnp.int32)
 
-    def one(p):
-        patch = jax.lax.dynamic_slice(padded, (0, p[1], p[0]), (2, psize, psize))
+    if use_pallas_patch:
+        # overlapped explicit HBM->VMEM DMAs instead of a vmapped
+        # dynamic_slice (see ops/pallas_patch.py); same bytes, same math
+        from .pallas_patch import patch_gather
+        patches = patch_gather(padded, xy.astype(jnp.int32), psize)
+
+    def one_from(patch):
         rawp, blurp = patch[0], patch[1]
         m10 = jnp.sum(rawp * wx39)
         m01 = jnp.sum(rawp * wy39)
@@ -181,7 +187,15 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
         desc = jnp.sum(bits << shifts, axis=-1).astype(jnp.uint32)
         return ang, desc
 
-    ang, desc = jax.vmap(one)(xy)
+    def one(p):
+        patch = jax.lax.dynamic_slice(padded, (0, p[1], p[0]),
+                                      (2, psize, psize))
+        return one_from(patch)
+
+    if use_pallas_patch:
+        ang, desc = jax.vmap(one_from)(patches)
+    else:
+        ang, desc = jax.vmap(one)(xy)
     ang = jnp.where(valid, ang, 0.0)
     desc = jnp.where(valid[:, None], desc, 0)
     return ang, desc

@@ -309,3 +309,20 @@ class TestBatchedExtraction:
             ba = np.asarray(batch.angle[b])[valid]
             sa = np.asarray(single.angle)[valid]
             assert (np.abs(ba - sa) < 1e-3).mean() > 0.95
+
+
+class TestPallasPatchGather:
+    def test_matches_host_slicing(self):
+        """The DMA patch-gather kernel (ops/pallas_patch.py) must move
+        exactly the bytes the dynamic_slice path moves (interpret mode on
+        CPU; the TPU path is the same kernel)."""
+        from orb_slam2_detailed_comments_tpu.ops.pallas_patch import (
+            patch_gather)
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.uniform(0, 255, (2, 150, 210)).astype(np.float32))
+        xy = jnp.asarray(rng.integers(0, [210 - 39, 150 - 39],
+                                      (29, 2)).astype(np.int32))
+        out = np.asarray(patch_gather(img, xy, 39))
+        ref = np.stack([np.asarray(img)[:, y:y + 39, x:x + 39]
+                        for x, y in np.asarray(xy)])
+        np.testing.assert_array_equal(out, ref)
