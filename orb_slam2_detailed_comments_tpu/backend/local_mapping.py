@@ -121,9 +121,10 @@ def solve_global_ba(prob: BAProblem, camera, inv_sigma2, n_iters: int = 10,
         # the old per-chunk schedule restart).
         from ..optim.global_ba_grouped import (
             group_global_problem, _solve_grouped_phase, _grouped_activation,
-            _grouped_cost)
+            _grouped_cost, _onehot_for)
         from ..geometry.se3 import se3_renormalize
         gp = group_global_problem(prob, inv_sigma2)
+        oh = _onehot_for(gp, "gemm")  # materialized ONCE for all chunks
         cam_Tcw, points = gp.cam_Tcw, gp.points
         n_pre = max(n_iters // 2, 1)
         for phase_iters, use_kernel in ((n_pre, True),
@@ -132,9 +133,9 @@ def solve_global_ba(prob: BAProblem, camera, inv_sigma2, n_iters: int = 10,
             if use_kernel:
                 act_g, act_s = gp.g_valid, gp.sp_valid
             else:
-                act_g, act_s = _grouped_activation(gp, camera, "gemm")
+                act_g, act_s = _grouped_activation(gp, camera, "gemm", oh)
             c_cur = _grouped_cost(gp, camera, use_kernel, act_g, act_s,
-                                  "gemm")
+                                  "gemm", oh)
             lam = jnp.float32(1e-5)
             done_p = 0
             while done_p < phase_iters:
@@ -143,7 +144,8 @@ def solve_global_ba(prob: BAProblem, camera, inv_sigma2, n_iters: int = 10,
                 it = min(chunk, phase_iters - done_p)
                 cam_Tcw, points, lam, c_cur = _solve_grouped_phase(
                     gp._replace(cam_Tcw=cam_Tcw, points=points), camera,
-                    it, 50, "gemm", 1, use_kernel, act_g, act_s, lam, c_cur)
+                    it, 50, "gemm", 1, use_kernel, act_g, act_s, lam, c_cur,
+                    oh)
                 done_p += it
         cam_Tcw = se3_renormalize(cam_Tcw)
         return np.asarray(cam_Tcw), np.asarray(points)

@@ -255,9 +255,13 @@ class LoopCloser:
 
         # a running global BA from a previous loop is stale now: kill it
         # before correcting (reference: LoopClosing.cc:699-712 sets
-        # mbStopGBA and joins the transient thread)
+        # mbStopGBA and joins the transient thread). join=False: in async
+        # mode this runs under the map lock a finishing GBA thread may be
+        # blocked on (join would always burn its timeout); the per-launch
+        # stop event + generation guard already make a stale merge
+        # impossible (gba_runner.__init__ note)
         if self.gba_runner is not None:
-            self.gba_runner.request_stop(join=True)
+            self.gba_runner.request_stop(join=False)
 
         # corrected Sim3 of the current KF: Scw = S_cl * T_loop_w... NO:
         # S_cl maps loop-cam -> current-cam; corrected current pose is

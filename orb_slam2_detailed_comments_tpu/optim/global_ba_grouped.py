@@ -610,7 +610,7 @@ def _grouped_robust_cost(gp: GroupedGBA, cam_Tcw, points, cam_params,
                                               "use_kernel"))
 def _solve_grouped_phase(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
                          backend: str, k_mv: int, use_kernel: bool,
-                         act_g, act_s, lam, c_cur):
+                         act_g, act_s, lam, c_cur, oh=None):
     """One LM phase (robust or plain) of `n_iters` iterations starting
     from carried (lam, cost). Exposing the phase with explicit carried
     state lets the async chunked path (backend/gba_runner via
@@ -618,7 +618,8 @@ def _solve_grouped_phase(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
     instead of restarting the lambda/phase/activation per chunk."""
     cam_params = (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
     C = gp.cam_Tcw.shape[0]
-    oh = _build_onehot(gp, C) if backend in ("gemm", "dense") else None
+    if oh is None:
+        oh = _build_onehot(gp, C) if backend in ("gemm", "dense") else None
 
     def step(cam_Tcw, points, lam):
         if backend == "dense":
@@ -648,13 +649,14 @@ def _solve_grouped_phase(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "backend"))
-def _grouped_activation(gp: GroupedGBA, cam, backend: str = "gemm"):
+def _grouped_activation(gp: GroupedGBA, cam, backend: str = "gemm", oh=None):
     """Per-edge chi2 inlier activation at the CURRENT gp poses/points
     (the gate between the robust and plain LM phases, and the final
     inlier report)."""
     cam_params = (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
     C = gp.cam_Tcw.shape[0]
-    oh = _build_onehot(gp, C) if backend in ("gemm", "dense") else None
+    if oh is None:
+        oh = _build_onehot(gp, C) if backend in ("gemm", "dense") else None
     th_g = jnp.where(gp.g_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
     th_s = jnp.where(gp.sp_obs[2] >= 0, CHI2_STEREO, CHI2_MONO)
     (chi_g, bg), (chi_s, bs) = _grouped_chi2(gp, gp.cam_Tcw, gp.points,
@@ -666,12 +668,23 @@ def _grouped_activation(gp: GroupedGBA, cam, backend: str = "gemm"):
 
 @functools.partial(jax.jit, static_argnames=("cam", "backend", "use_kernel"))
 def _grouped_cost(gp: GroupedGBA, cam, use_kernel: bool, act_g, act_s,
-                  backend: str = "gemm"):
+                  backend: str = "gemm", oh=None):
     cam_params = (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
     C = gp.cam_Tcw.shape[0]
-    oh = _build_onehot(gp, C) if backend in ("gemm", "dense") else None
+    if oh is None:
+        oh = _build_onehot(gp, C) if backend in ("gemm", "dense") else None
     return _grouped_robust_cost(gp, gp.cam_Tcw, gp.points, cam_params,
                                 act_g, act_s, use_kernel, oh=oh)
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _onehot_for(gp: GroupedGBA, backend: str = "gemm"):
+    """Materialize the (C, S) one-hot ONCE per solve so the separately
+    jitted phase/activation/cost pieces (and the async chunk loop) reuse
+    it instead of rebuilding it per call (it is hundreds of MB at GBA
+    scale)."""
+    C = gp.cam_Tcw.shape[0]
+    return _build_onehot(gp, C) if backend in ("gemm", "dense") else None
 
 
 def _solve_grouped(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
@@ -681,21 +694,22 @@ def _solve_grouped(gp: GroupedGBA, cam, n_iters: int, cg_iters: int,
     inlier set (lambda resets at the phase boundary, as before)."""
     n_pre = max(n_iters // 2, 1)
     lam0 = jnp.float32(damping)
-    c0 = _grouped_cost(gp, cam, True, gp.g_valid, gp.sp_valid, backend)
+    oh = _onehot_for(gp, backend)
+    c0 = _grouped_cost(gp, cam, True, gp.g_valid, gp.sp_valid, backend, oh)
     cam_Tcw, points, _, _ = _solve_grouped_phase(
         gp, cam, n_pre, cg_iters, backend, k_mv, True,
-        gp.g_valid, gp.sp_valid, lam0, c0)
+        gp.g_valid, gp.sp_valid, lam0, c0, oh)
 
     gp1 = gp._replace(cam_Tcw=cam_Tcw, points=points)
-    act_g, act_s = _grouped_activation(gp1, cam, backend)
-    c1 = _grouped_cost(gp1, cam, False, act_g, act_s, backend)
+    act_g, act_s = _grouped_activation(gp1, cam, backend, oh)
+    c1 = _grouped_cost(gp1, cam, False, act_g, act_s, backend, oh)
     cam_Tcw, points, _, _ = _solve_grouped_phase(
         gp1, cam, n_iters - n_pre, cg_iters, backend, k_mv, False,
-        act_g, act_s, lam0, c1)
+        act_g, act_s, lam0, c1, oh)
     cam_Tcw = se3_renormalize(cam_Tcw)
 
     in_g, in_s = _grouped_activation(
-        gp._replace(cam_Tcw=cam_Tcw, points=points), cam, backend)
+        gp._replace(cam_Tcw=cam_Tcw, points=points), cam, backend, oh)
     return cam_Tcw, points, in_g, in_s
 
 

@@ -56,6 +56,23 @@ def _edge_error(xi_i, xi_j, Si, Sj, Sji):
     return log_sim3(Sji @ Si_new @ sim3_inverse(Sj_new))
 
 
+def _safeguard_step(dx):
+    """GN step safeguard (no LM acceptance loop in these solvers): cap the
+    ROTATION+SCALE tangent (dx[:, 3:7]) at 1.5 so exp_sim3 stays in its
+    domain, and the TRANSLATION tangent at 100 — far above any legitimate
+    correction in nondimensionalized units (drift/L <= ~1) but finite, so
+    a pathological inexact inner solve (CG stagnating at its cap, a
+    near-singular Woodbury core) cannot fling poses arbitrarily far and
+    poison the next linearization. Round 2 capped the FULL tangent at 10,
+    throttling exactly the tens-of-meter corrections a KITTI loop needs."""
+    rot = jnp.sqrt(jnp.sum(dx[:, 3:7] ** 2, axis=1))
+    rmax = jnp.max(rot)
+    dx = dx * jnp.where(rmax > 1.5, 1.5 / rmax, 1.0)
+    tr = jnp.sqrt(jnp.sum(dx[:, :3] ** 2, axis=1))
+    tmax = jnp.max(tr)
+    return dx * jnp.where(tmax > 100.0, 100.0 / tmax, 1.0)
+
+
 def _sanitized_edges(prob: "PoseGraphProblem"):
     """Make invalid edges numerically inert (not just weight-0): endpoint
     indices clamped to vertex 0 and Sji replaced by identity, so a padded
@@ -292,15 +309,7 @@ def _optimize_pose_graph_cg(prob: PoseGraphProblem, anc: jnp.ndarray,
         st = (jnp.int32(0), x0, rhs, z0, z0, rz0)
         u = jax.lax.while_loop(cg_cond, cg_body, st)[1]
         dx = apply_P(u) * freef
-        # GN safeguarding: cap only the ROTATION+SCALE tangent (phi, sigma
-        # = dx[:, 3:7]) so exp_sim3 stays in its domain; translation steps
-        # are linear-safe at any magnitude and a KITTI-00 loop legitimately
-        # needs tens-of-meter corrections (round 2 capped the FULL tangent
-        # at 10, throttling exactly those corrections).
-        rot = jnp.sqrt(jnp.sum(dx[:, 3:7] ** 2, axis=1))
-        rmax = jnp.max(rot)
-        scale = jnp.where(rmax > 1.5, 1.5 / rmax, 1.0)
-        dx = dx * scale
+        dx = _safeguard_step(dx)
         return jax.vmap(lambda d, s: exp_sim3(d) @ s)(dx, S)
 
     return jax.lax.fori_loop(0, n_iters, body, prob.S_init)
@@ -552,11 +561,7 @@ def _optimize_pose_graph_banded(prob: PoseGraphProblem, short_sel, long_sel,
             x = _band_solve(Ld, Lc, rhs.reshape(K, 7, 1), W).reshape(K * 7)
 
         dx = x.reshape(K, 7) * freef
-        # exp-domain safeguard (rotation+scale only), as in the CG backend
-        rot = jnp.sqrt(jnp.sum(dx[:, 3:7] ** 2, axis=1))
-        rmax = jnp.max(rot)
-        scale = jnp.where(rmax > 1.5, 1.5 / rmax, 1.0)
-        dx = dx * scale
+        dx = _safeguard_step(dx)
         return jax.vmap(lambda d, s_: exp_sim3(d) @ s_)(dx, S)
 
     return jax.lax.fori_loop(0, n_iters, body, prob.S_init)
@@ -671,11 +676,22 @@ def optimize_pose_graph(prob: PoseGraphProblem, n_iters: int = 20,
     BFS tree over the edges is used (CG backend only)."""
     K = prob.S_init.shape[0]
     import numpy as np
-    # nondimensionalize: scale translations by the trajectory scale
-    # (exactly equivalent problem — world-coordinate scaling conjugation).
-    # Raw KITTI-class units put translation Jacobians at O(100) against
-    # O(1) rotations, which costs ~4 decimal digits of f32 conditioning
-    # in every backend (measured: Woodbury core cond 7.5e8 unscaled).
+    # nondimensionalize: scale translations by the trajectory scale (a
+    # world-coordinate scaling conjugation). Raw KITTI-class units put
+    # translation Jacobians at O(100) against O(1) rotations, which costs
+    # ~4 decimal digits of f32 conditioning in every backend (measured:
+    # Woodbury core cond 7.5e8 unscaled).
+    #
+    # DELIBERATE DEVIATION from g2o: the per-edge error becomes
+    # (rho/L, phi, sigma), i.e. the implicit information matrix weights
+    # translation residuals by 1/L^2 relative to rotation instead of the
+    # reference's identity in raw meters (Optimizer.cc:1129 matLambda =
+    # identity). Neither weighting is covariance-derived; raw-meter
+    # identity makes the objective unit-dependent (translation dominates
+    # rotation ~1e4x at KITTI scale), scaled identity makes it
+    # scale-invariant and f32-solvable. At the near-zero residuals a
+    # consistent essential graph reaches the optima coincide; on
+    # inconsistent graphs the drift distribution differs from g2o's.
     t_rms = float(np.sqrt(np.mean(np.asarray(prob.S_init)[:, :3, 3] ** 2)))
     L = max(1.0, t_rms)
     if L > 1.0:

@@ -35,12 +35,24 @@ class KeyFrameDatabase:
         self.kf_n_words = np.zeros(max_keyframes, np.int32)
         self.active = np.zeros(max_keyframes, bool)
         # inverted index: word -> list of keyframes containing it
-        # (reference: mvInvertedFile, KeyFrameDatabase.h:103-105); erased
-        # keyframes stay in the lists and are masked by `active` (lazy,
-        # reclaimed on overwrite via add())
+        # (reference: mvInvertedFile, KeyFrameDatabase.h:103-105); ERASED
+        # keyframes stay in the lists and are masked by `active` (lazy);
+        # RE-ADDED slots purge their old words first (see add())
         self.inv: Dict[int, List[int]] = {}
 
     def add(self, kf: int, bow: np.ndarray) -> None:
+        # re-adding a slot (vocabulary swap, recycled KF id) must purge
+        # its OLD words from the inverted lists first — _common_words
+        # assumes a KF appears at most once per word list
+        n_old = int(self.kf_n_words[kf])
+        if n_old:
+            for w in self.kf_words[kf, :n_old]:
+                lst = self.inv.get(int(w))
+                if lst is not None:
+                    try:
+                        lst.remove(kf)
+                    except ValueError:
+                        pass
         words = np.nonzero(bow > 0)[0]
         if words.size > self.W_CAP:
             # keep the heaviest words (never expected: distinct words per
