@@ -141,7 +141,12 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
     """
     import os
     use_onehot = os.environ.get("ORB_DESC_ONEHOT", "1") not in ("0", "false")
-    use_pallas_patch = os.environ.get("ORB_PATCH_PALLAS", "0") not in ("0", "false")
+    # default ON on TPU (measured: stereo step 20.2 -> 15.7 ms, mono
+    # unchanged-or-better; bit-identical). Off-TPU the kernel would run
+    # in interpret mode — keep the XLA dynamic_slice path there.
+    default_pallas = "1" if jax.default_backend() == "tpu" else "0"
+    use_pallas_patch = os.environ.get(
+        "ORB_PATCH_PALLAS", default_pallas) not in ("0", "false")
 
     wx39, wy39 = map(jnp.asarray, _ic_weights_39())
     x0, y0, x1, y1 = map(jnp.asarray, _pattern_arrays())
