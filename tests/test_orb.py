@@ -326,3 +326,25 @@ class TestPallasPatchGather:
         ref = np.stack([np.asarray(img)[:, y:y + 39, x:x + 39]
                         for x, y in np.asarray(xy)])
         np.testing.assert_array_equal(out, ref)
+
+    def test_extract_orb_batch_bit_identical(self, monkeypatch):
+        """The stereo frontend vmaps extraction over the L/R pair, so the
+        kernel must survive jax.vmap (pallas batching adds a grid dim).
+        The TPU-default Pallas path must reproduce the XLA dynamic_slice
+        path bit-for-bit through the full batched extractor."""
+        import jax
+        from orb_slam2_detailed_comments_tpu.ops.orb import extract_orb_batch
+        rng = np.random.default_rng(3)
+        imgs = jnp.asarray(rng.uniform(0, 255, (2, 120, 160)).astype(np.float32))
+        cfg = OrbConfig(n_features=150, max_keypoints=256, n_levels=3)
+        monkeypatch.setenv("ORB_PATCH_PALLAS", "1")
+        jax.clear_caches()
+        kp = extract_orb_batch(imgs, cfg)
+        kp = jax.tree.map(np.asarray, kp)
+        monkeypatch.setenv("ORB_PATCH_PALLAS", "0")
+        jax.clear_caches()  # env var isn't part of the jit cache key
+        kp0 = extract_orb_batch(imgs, cfg)
+        for name in ("xy", "response", "octave", "angle", "desc", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(kp, name)),
+                np.asarray(getattr(kp0, name)), err_msg=name)
