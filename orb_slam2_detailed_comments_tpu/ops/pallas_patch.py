@@ -118,7 +118,17 @@ def _patch_gather(padded, xy, psize: int = 39, interpret: bool = False):
     x, y = xy[:, 0], xy[:, 1]
     xa = (x // 128) * 128
     ya = (y // 8) * 8
-    coords = jnp.stack([xa, ya, x - xa, y - ya], axis=-1)
+    # clamp out-of-range starts (invalid keypoint slots from the cell-grid
+    # pad region can carry arbitrary xy): the XLA dynamic_slice path this
+    # kernel replaces clamps implicitly; an unclamped start would issue an
+    # HBM DMA past the grown image. Clip bounds are kept tile-aligned:
+    # Wp_new - WIN_W is a 128 multiple; the y bound is aligned DOWN to 8
+    # (legal in-range starts are unaffected since they are 8-multiples
+    # <= Hp - psize, and the window still fits: bound + WIN_H <= Hp+grow_h).
+    xa = jnp.clip(xa, 0, Wp_new - WIN_W)
+    ya = jnp.clip(ya, 0, ((Hp + grow_h - WIN_H) // 8) * 8)
+    coords = jnp.stack([xa, ya, jnp.clip(x - xa, 0, WIN_W - psize),
+                        jnp.clip(y - ya, 0, WIN_H - psize)], axis=-1)
 
     out = pl.pallas_call(
         functools.partial(_patch_kernel, psize=psize, psize8=psize8, group=g),
