@@ -37,6 +37,7 @@ class AsyncLocalMapper:
         # InsertKeyFrame sets mbAbortBA, LocalMapping.cc:954-957): a running
         # local BA skips its second phase when another KF is waiting.
         self.mapper.abort_ba_check = lambda: not self.queue.empty()
+        self.n_processed = 0  # keyframes fully processed by the worker
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
@@ -111,6 +112,7 @@ class AsyncLocalMapper:
                     if result is not None:
                         self.mapper._merge_local_ba(built, result)
                     self.mapper.finish_keyframe(kf)
+                self.n_processed += 1
             finally:
                 self.queue.task_done()
                 if self.queue.empty():

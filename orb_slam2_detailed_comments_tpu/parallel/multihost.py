@@ -55,17 +55,19 @@ def initialize(coordinator: Optional[str] = None,
     jax.distributed.initialize(**kwargs)
 
 
-def global_ba_mesh():
-    """1-D 'edge' mesh over every device of every process.
+def global_ba_mesh(axis: str = "edge"):
+    """1-D mesh over every device of every process.
 
-    jax.devices() spans the whole cluster after initialize(); the BA edge
-    shards therefore split across hosts, and the psum reductions in
-    parallel/distributed_ba.py become cross-host collectives.
+    jax.devices() spans the whole cluster after initialize(); the BA
+    shards therefore split across hosts, and the psum reductions become
+    cross-host collectives. axis="edge" feeds the flat edge-sharded
+    solver (parallel/distributed_ba.py); axis="pt" feeds the grouped
+    point-sharded solver (parallel/distributed_ba_grouped.py).
     """
     import jax
     from jax.sharding import Mesh
 
-    return Mesh(np.asarray(jax.devices()), ("edge",))
+    return Mesh(np.asarray(jax.devices()), (axis,))
 
 
 def make_global_array(x, mesh, spec):

