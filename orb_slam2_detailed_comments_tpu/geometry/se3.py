@@ -66,6 +66,60 @@ def se3_renormalize(T):
     return make_se3(R, T[..., :3, 3])
 
 
+def se3_inverse_np(T: "np.ndarray"):
+    """Host-side (numpy) SE3 inverse for per-frame 4x4 bookkeeping.
+
+    The tracking front-end inverts/renormalizes single 4x4 poses every
+    frame (velocity update, trajectory log); routing those through jnp
+    costs a device round-trip each (~10 ms through the axon tunnel for a
+    64-byte matrix — round-4 host-budget profile). Pure numpy here."""
+    import numpy as np
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    Rt = np.swapaxes(R, -1, -2)
+    out = np.zeros_like(T)
+    out[..., :3, :3] = Rt
+    out[..., :3, 3] = -(Rt @ t[..., None])[..., 0]
+    out[..., 3, 3] = 1.0
+    return out
+
+
+def se3_renormalize_np(T: "np.ndarray"):
+    """Host-side counterpart of se3_renormalize (see its docstring for
+    why this must run at every optimizer boundary): quaternion round-trip
+    in float64 numpy, cast back to the input dtype."""
+    import numpy as np
+    R = np.asarray(T[..., :3, :3], np.float64)
+    # rotmat -> quat (Shepperd), vectorized for a single matrix
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        w, x, y, z = 0.25 * s, (R[2, 1] - R[1, 2]) / s, \
+            (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        w, x, y, z = (R[2, 1] - R[1, 2]) / s, 0.25 * s, \
+            (R[0, 1] + R[1, 0]) / s, (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] > R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        w, x, y, z = (R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s, \
+            0.25 * s, (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        w, x, y, z = (R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s, \
+            (R[1, 2] + R[2, 1]) / s, 0.25 * s
+    n = np.sqrt(w * w + x * x + y * y + z * z)
+    w, x, y, z = w / n, x / n, y / n, z / n
+    Rn = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    out = np.asarray(T).copy()
+    out[..., :3, :3] = Rn.astype(out.dtype)
+    return out
+
+
 def exp_se3(xi):
     """Twist (..., 6) = (rho, phi) [translation-ish first, rotation last] -> (..., 4, 4).
 

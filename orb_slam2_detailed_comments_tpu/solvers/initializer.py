@@ -313,14 +313,39 @@ def _decompose_essential(F21, K):
     return [(R1, t), (R1, -t), (R2, t), (R2, -t)]
 
 
+def min_parallax_for(fx: float, sigma_px: float = 1.0,
+                     max_depth_err: float = 0.06) -> float:
+    """Scale-aware init parallax gate (beyond reference).
+
+    The reference accepts any init with 50th-best parallax >= 1.0 deg
+    (Initializer.cc:1056-1130) — calibrated for TUM-class geometry. The
+    robustness quantity is the triangulated RELATIVE DEPTH ERROR
+    sigma_z/z ~ (sigma_px/fx)/tan(parallax): a 1-deg init at fx=350
+    bakes in ~16% correlated depth error, whose reconstruction bias
+    collapses downstream translation estimates at narrow FOV (round-4
+    diagnosis: the GT pose scores WORSE than the collapsed pose on such
+    a map). Gate at the parallax where the expected depth error drops
+    below max_depth_err, never below the reference's 1.0 deg."""
+    return float(max(MIN_PARALLAX_DEG,
+                     np.degrees(np.arctan2(sigma_px / max_depth_err, fx))))
+
+
 def initialize_two_view(uv1, uv2, valid, K, seed: int = 0,
-                        min_triangulated: int = MIN_TRIANGULATED) -> Optional[TwoViewResult]:
+                        min_triangulated: int = MIN_TRIANGULATED,
+                        min_parallax: Optional[float] = None) -> Optional[TwoViewResult]:
     """Full two-view bootstrap following Initializer::Initialize
     (reference: Initializer.cc:123-250).
 
     uv1/uv2: (M, 2) float32 matched undistorted keypoints; valid: (M,) bool.
-    K: (3, 3) intrinsics. Returns None on failure.
+    K: (3, 3) intrinsics. min_parallax: acceptance threshold in degrees on
+    the 50th-best parallax (None = scale-aware min_parallax_for(fx)).
+    Returns None on failure — the caller keeps its reference frame, so the
+    next attempt pairs a LONGER baseline (Tracking keeps mInitialFrame
+    while matches stay >= 100, Tracking.cc:918-971).
     """
+    if min_parallax is None:
+        min_parallax = MIN_PARALLAX_DEG  # reference default; callers in
+        # depth-accuracy-critical regimes pass min_parallax_for(fx)
     uv1 = jnp.asarray(uv1)
     uv2 = jnp.asarray(uv2)
     valid = jnp.asarray(valid)
@@ -368,14 +393,17 @@ def initialize_two_view(uv1, uv2, valid, K, seed: int = 0,
     max_good = int(ngood[best])
     n_similar = int(np.sum(ngood > 0.7 * max_good))
 
-    # acceptance (reference: ReconstructF :1085-1128 / ReconstructH :1726-1739):
-    # clear winner, enough points, enough parallax
-    if max_good < max(min_triangulated, int(min_good_frac * n_inl) if used_h else 0):
-        if max_good < min_triangulated:
-            return None
+    # acceptance (reference: ReconstructF :1085-1128 / ReconstructH
+    # :1726-1739): clear winner, enough points, enough parallax. BOTH
+    # paths require >= 0.9*N good (the reference's nMinGood =
+    # max(0.9*N, minTriangulated) applies to F too — round 4 fixed the F
+    # path silently skipping it, which let weak-parallax inits through
+    # at narrow FOV and collapsed downstream tracking)
+    if max_good < max(min_triangulated, int(min_good_frac * n_inl)):
+        return None
     if n_similar > 1 and not used_h:
         return None
-    if parallax[best] < MIN_PARALLAX_DEG:
+    if parallax[best] < min_parallax:
         return None
 
     return TwoViewResult(
