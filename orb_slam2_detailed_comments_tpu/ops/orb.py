@@ -31,7 +31,7 @@ import numpy as np
 
 from ..utils.config import OrbConfig
 from .fast import fast_score_map, fast_score_dense, nms_3x3
-from .pallas_fast import fast_pyramid_pallas
+from .pallas_fast import fast_pyramid_pallas, fast_pyramid_pallas_roll
 from .pattern import brief_pattern, ic_angle_offsets, HALF_PATCH
 from .pyramid import build_pyramid, gaussian_blur, features_per_level, pyramid_shapes
 
@@ -254,10 +254,16 @@ def _extract_orb_impl(img, config: OrbConfig, n_features: int = 0):
     # interpret-tested) for standalone/score-only uses where it is 11x the
     # dispatch-bound XLA micro-call.
     import os
-    use_pallas = os.environ.get("ORB_FAST_PALLAS", "0") not in ("0", "false")
+    mode = os.environ.get("ORB_FAST_PALLAS", "0")
+    use_pallas = mode not in ("0", "false")
 
     if use_pallas:
-        nms_all, raw_all, blur_all = fast_pyramid_pallas(
+        # ORB_FAST_PALLAS=roll selects the round-4 roll-based kernel
+        # (aligned writes only; the compile-time candidate for 1241x376 —
+        # the slice-based kernel never finished compiling there)
+        fn = (fast_pyramid_pallas_roll if mode == "roll"
+              else fast_pyramid_pallas)
+        nms_all, raw_all, blur_all = fn(
             tuple(levels), shapes, float(config.min_th_fast))
 
     outs = []

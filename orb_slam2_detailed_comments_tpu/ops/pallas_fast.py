@@ -409,3 +409,171 @@ def fast_score_nms_pallas(img, threshold: float = 7.0, interpret: bool = False):
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     border_ok = (ys >= 3) & (ys < H - 3) & (xs >= 3) & (xs < W - 3)
     return jnp.where(border_ok, out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Roll-based pyramid kernel (round 4): every neighborhood access is a
+# pltpu.roll of the full slab and every output write is a full aligned
+# block — no unaligned static slices, which are the prime suspect for the
+# Mosaic compile blow-up that kept the tiled kernel from ever finishing
+# at 1241x376 (CLAUDE.md round-3 open thread). Wrap-around garbage from
+# the rolls lands only in halo rows/columns that the caller discards
+# (HALO_V >= 4 ring+NMS reach; Wtot >= W + 7).
+# ---------------------------------------------------------------------------
+
+HALO_V = 8        # vertical halo (8-aligned so output rows slice cleanly)
+TILE_H2 = 16      # smaller tile: full-slab roll temporaries stay in VMEM
+
+
+def _pyramid_tile_kernel_roll(meta_ref, img_hbm, nms_ref, raw_ref, blur_ref,
+                              buf, sem, *, threshold: float):
+    """Row-tile kernel; see fast_pyramid_pallas_roll. meta rows:
+    [input_start_row, tile_local_row_offset, level_h, level_w]."""
+    t = pl.program_id(0)
+    in_start = pl.multiple_of(meta_ref[t, 0], 8)
+    local_off = meta_ref[t, 1]
+    img_h = meta_ref[t, 2]
+    img_w = meta_ref[t, 3]
+
+    cp = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(in_start, TILE_H2 + 2 * HALO_V), :], buf, sem)
+    cp.start()
+    cp.wait()
+    slab = buf[:]
+    HS, Wtot = slab.shape
+
+    def sh(dy, dx):
+        # rolled view whose [y, x] = slab[y + dy, x + dx] (wrap garbage
+        # only within |shift| of the slab edges — all inside the halo)
+        out = slab
+        if dy:
+            out = pltpu.roll(out, (-dy) % HS, 0)
+        if dx:
+            out = pltpu.roll(out, (-dx) % Wtot, 1)
+        return out
+
+    d = [sh(int(dy), int(dx)) - slab for dy, dx in RING_OFFSETS]
+
+    def arc_score(diffs):
+        best = None
+        for s in range(16):
+            m = jnp.minimum(diffs[s], diffs[(s + 1) % 16])
+            m2 = jnp.minimum(diffs[(s + 2) % 16], diffs[(s + 3) % 16])
+            m3 = jnp.minimum(diffs[(s + 4) % 16], diffs[(s + 5) % 16])
+            m4 = jnp.minimum(diffs[(s + 6) % 16], diffs[(s + 7) % 16])
+            m = jnp.minimum(jnp.minimum(m, diffs[(s + 8) % 16]),
+                            jnp.minimum(jnp.minimum(m2, m3), m4))
+            best = m if best is None else jnp.maximum(best, m)
+        return best
+
+    raw = jnp.maximum(arc_score(d), arc_score([-v for v in d]))
+    score = jnp.where(raw > threshold, raw, 0.0)
+
+    # zero the 3px image border BEFORE NMS (bit-equal tie-breaks with the
+    # XLA path, which masks first). Global coords: slab row HALO_V is
+    # image row local_off; slab col HALO(=4) is image col 0.
+    gy = (jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
+          + local_off - HALO_V)
+    gx = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1) - HALO
+    inb = (gy >= 3) & (gy < img_h - 3) & (gx >= 3) & (gx < img_w - 3)
+    score = jnp.where(inb, score, 0.0)
+
+    def nbr(dy, dx):
+        out = score
+        if dy:
+            out = pltpu.roll(out, (-dy) % HS, 0)
+        if dx:
+            out = pltpu.roll(out, (-dx) % Wtot, 1)
+        return out
+
+    before = jnp.maximum(jnp.maximum(nbr(1, 1), nbr(1, 0)),
+                         jnp.maximum(nbr(1, -1), nbr(0, 1)))
+    after = jnp.maximum(jnp.maximum(nbr(0, -1), nbr(-1, 1)),
+                        jnp.maximum(nbr(-1, 0), nbr(-1, -1)))
+    keep = (score > 0) & (score >= before) & (score > after)
+    nms_full = jnp.where(keep, score, 0.0)
+
+    # aligned output rows [HALO_V, HALO_V + TILE_H2), full width
+    nms_ref[:, :] = jax.lax.slice(nms_full, (HALO_V, 0),
+                                  (HALO_V + TILE_H2, Wtot))
+    raw_ref[:, :] = jax.lax.slice(raw, (HALO_V, 0),
+                                  (HALO_V + TILE_H2, Wtot))
+
+    # 7x7 sigma=2 separable blur via rolls
+    k = tuple(float(v) for v in _gauss_kernel_1d(7, 2.0))
+    h = k[3] * slab
+    for j in range(1, 4):
+        h = h + k[3 - j] * sh(0, -j) + k[3 + j] * sh(0, j)
+    v = k[3] * h
+    for j in range(1, 4):
+        up = pltpu.roll(h, j % HS, 0)          # [y] = h[y - j]
+        dn = pltpu.roll(h, (-j) % HS, 0)       # [y] = h[y + j]
+        v = v + k[3 - j] * up + k[3 + j] * dn
+    blur_ref[:, :] = jax.lax.slice(v, (HALO_V, 0),
+                                   (HALO_V + TILE_H2, Wtot))
+
+
+@functools.partial(jax.jit, static_argnames=("shapes", "threshold",
+                                             "interpret"))
+def fast_pyramid_pallas_roll(levels, shapes, threshold: float = 7.0,
+                             interpret: bool = False):
+    """Roll-based variant of fast_pyramid_pallas (same contract): fused
+    FAST-9/16 + NMS + raw score + 7x7 blur for the whole pyramid in ONE
+    dispatch, with only aligned block writes inside the kernel."""
+    n_levels = len(shapes)
+    Wtot = max(_round_up(W + 2 * HALO, 128) for _, W in shapes)
+
+    in_blocks = []
+    meta = []
+    in_off = 0
+    out_offs = []
+    out_off = 0
+    for lv in range(n_levels):
+        H, W = shapes[lv]
+        Hp = _round_up(H, TILE_H2)
+        p = jnp.pad(levels[lv], ((HALO, HALO), (HALO, HALO)), mode="reflect")
+        # vertical halo grown to HALO_V (extra rows feed discarded outputs)
+        p = jnp.pad(p, ((HALO_V - HALO, HALO_V - HALO + Hp - H),
+                        (0, Wtot - W - 2 * HALO)), mode="edge")
+        in_blocks.append(p)
+        for ktile in range(Hp // TILE_H2):
+            meta.append((in_off + ktile * TILE_H2, ktile * TILE_H2, H, W))
+        out_offs.append(out_off)
+        in_off += Hp + 2 * HALO_V
+        out_off += Hp
+    stacked = jnp.concatenate(in_blocks, axis=0)
+    meta = jnp.asarray(np.asarray(meta, np.int32))
+    n_tiles = meta.shape[0]
+
+    kernel = functools.partial(_pyramid_tile_kernel_roll, threshold=threshold)
+    blk = pl.BlockSpec((TILE_H2, Wtot), lambda t, meta: (t, 0),
+                       memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((out_off, Wtot), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(blk, blk, blk),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H2 + 2 * HALO_V, Wtot), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    nms, raw, blur = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(oshape, oshape, oshape),
+        interpret=interpret,
+    )(meta, stacked)
+
+    nms_l, raw_l, blur_l = [], [], []
+    for lv in range(n_levels):
+        H, W = shapes[lv]
+        o = out_offs[lv]
+        ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        okm = (ys >= 3) & (ys < H - 3) & (xs >= 3) & (xs < W - 3)
+        nms_l.append(jnp.where(okm, nms[o:o + H, HALO:HALO + W], 0.0))
+        raw_l.append(raw[o:o + H, HALO:HALO + W])
+        blur_l.append(blur[o:o + H, HALO:HALO + W])
+    return tuple(nms_l), tuple(raw_l), tuple(blur_l)

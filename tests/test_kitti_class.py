@@ -46,3 +46,40 @@ class TestKittiClassRendered:
     def test_map_scales_sanely(self, result):
         assert result["keyframes"] < result["frames"]
         assert result["map_points"] > 1000
+
+
+@pytest.mark.skipif(not os.environ.get("ORB_KITTI_CLASS_MONO_R40"),
+                    reason="~1 h full-resolution run; set "
+                           "ORB_KITTI_CLASS_MONO_R40=1 to enable")
+class TestKittiClassMonoRadius40:
+    """The round-3 open regression: MONOCULAR at circuit radius 40.
+
+    Runs the full-size config (640x480, 1000 features, 300 frames, 2
+    laps) — the radius the round-3 runs lost tracking at after a weak
+    init. Round-4 root cause: the initializer accepted weak-parallax
+    reconstructions whose correlated depth bias made the TRUE camera
+    motion score worse than a collapsed (rotation-only) pose; fixed by
+    the reference's own acceptance gates (0.9N for the F path,
+    >=100 tracked points post-BA, auto-reset at <=5 live keyframes).
+    The committed artifact row is KITTI_CLASS_MONO_R40.json.
+
+    NOTE: this config cannot be miniaturized — at reduced resolution the
+    benchmark's fx formula halves, doubling the angular pixel noise and
+    (with the texture stretched over a 251 m circumference) starving
+    octave-0 init matches below the reference's own 100-match floor.
+    """
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "examples"))
+        from kitti_class_benchmark import run
+        return run(300, 640, 480, 1000, radius=40.0, laps=2.0,
+                   sensor="mono")
+
+    def test_tracks_through(self, result):
+        assert result["tracked_frac"] > 0.95, result
+
+    def test_ate_within_1pct_of_travel(self, result):
+        assert result["ate_pct_travel"] < 1.0, result

@@ -235,6 +235,33 @@ class TestPallasFast:
                           np.asarray(gaussian_blur(limg))).max() < 1e-3
 
 
+class TestPallasFastRollVariant:
+    def test_roll_pyramid_kernel_matches_xla(self):
+        """Round-4 roll-based rewrite (aligned writes only — the
+        compile-time fix candidate for 1241x376) must match the XLA maps
+        exactly like the slice-based kernel does."""
+        import jax
+        from orb_slam2_detailed_comments_tpu.ops.pallas_fast import (
+            fast_pyramid_pallas_roll)
+        from orb_slam2_detailed_comments_tpu.ops.fast import fast_score_dense
+        from orb_slam2_detailed_comments_tpu.ops.pyramid import (
+            build_pyramid, pyramid_shapes, gaussian_blur)
+        img = jnp.asarray(textured_image(h=240, w=320, seed=5))
+        levels = build_pyramid(img, 4, 1.2)
+        shapes = pyramid_shapes(240, 320, 4, 1.2)
+        nms_l, raw_l, blur_l = fast_pyramid_pallas_roll(
+            tuple(levels), shapes, 7.0,
+            interpret=jax.default_backend() == "cpu")
+        for lv in range(4):
+            limg = levels[lv]
+            assert np.abs(np.asarray(nms_l[lv]) -
+                          np.asarray(nms_3x3(fast_score_map(limg, 7.0)))).max() == 0.0
+            assert np.abs(np.asarray(raw_l[lv]) -
+                          np.asarray(fast_score_dense(limg)))[4:-4, 4:-4].max() == 0.0
+            assert np.abs(np.asarray(blur_l[lv]) -
+                          np.asarray(gaussian_blur(limg))).max() < 1e-3
+
+
 class TestOnehotDescriptorPath:
     def test_onehot_matches_gather_path(self, monkeypatch):
         """ORB_DESC_ONEHOT=1 replaces the per-keypoint 512-point patch
