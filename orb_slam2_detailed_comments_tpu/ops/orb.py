@@ -226,16 +226,52 @@ def extract_orb(img, config: OrbConfig, n_features: int = 0):
     return _extract_orb_impl(img, config, n_features)
 
 
+def _fast_pallas_default() -> str:
+    return "roll" if jax.default_backend() == "tpu" else "0"
+
+
 @functools.partial(jax.jit, static_argnames=("config", "n_features"))
 def extract_orb_batch(imgs, config: OrbConfig, n_features: int = 0):
     """Batched extraction over a leading image axis: (B, H, W) -> Keypoints
     with (B, ...) leading dims, ONE dispatch. The stereo frontend feeds the
     L/R pair as B=2 — the reference instead launches two extraction threads
-    (reference: Frame.cc:158-164, SURVEY.md section 2.3's planned mapping)."""
+    (reference: Frame.cc:158-164, SURVEY.md section 2.3's planned mapping).
+
+    With ORB_FAST_PALLAS enabled, the fused FAST+NMS+raw+blur maps for ALL
+    images x levels are computed in ONE pallas dispatch BEFORE the vmapped
+    per-image extraction (a vmapped pallas_call over an HBM-space ref is
+    rejected by the Mosaic lowering; hoisting the kernel out of the vmap
+    is also simply the better program — one metadata-driven grid covers
+    the whole batch)."""
+    import os
+    mode = os.environ.get("ORB_FAST_PALLAS", _fast_pallas_default())
+    if mode not in ("0", "false"):
+        from .pallas_fast import fast_pyramid_pallas, fast_pyramid_pallas_roll
+        B = int(imgs.shape[0])
+        n_levels, sf = config.n_levels, config.scale_factor
+        shapes = pyramid_shapes(imgs.shape[1], imgs.shape[2], n_levels, sf)
+        pyrs = [build_pyramid(imgs[b], n_levels, sf) for b in range(B)]
+        flat_levels = tuple(pyrs[b][lv]
+                            for b in range(B) for lv in range(n_levels))
+        flat_shapes = tuple(shapes[lv]
+                            for b in range(B) for lv in range(n_levels))
+        fn = (fast_pyramid_pallas_roll if mode == "roll"
+              else fast_pyramid_pallas)
+        nms, raw, blur = fn(flat_levels, flat_shapes,
+                            float(config.min_th_fast))
+        maps_flat = []
+        for lv in range(n_levels):
+            for arrs in (nms, raw, blur):
+                maps_flat.append(jnp.stack(
+                    [arrs[b * n_levels + lv] for b in range(B)]))
+        return jax.vmap(
+            lambda im, *mf: _extract_orb_impl(im, config, n_features,
+                                              maps=mf))(imgs, *maps_flat)
     return jax.vmap(lambda im: _extract_orb_impl(im, config, n_features))(imgs)
 
 
-def _extract_orb_impl(img, config: OrbConfig, n_features: int = 0):
+def _extract_orb_impl(img, config: OrbConfig, n_features: int = 0,
+                      maps=None):
     n_feat = int(n_features) if n_features else config.n_features
     n_levels = config.n_levels
     sf = config.scale_factor
@@ -245,22 +281,27 @@ def _extract_orb_impl(img, config: OrbConfig, n_features: int = 0):
     budgets = features_per_level(n_feat, n_levels, sf)
     shapes = pyramid_shapes(img.shape[0], img.shape[1], n_levels, sf)
 
-    # ORB_FAST_PALLAS=1 switches FAST+NMS+raw+blur to the fused Pallas
-    # whole-pyramid kernel (ops/pallas_fast.fast_pyramid_pallas). Measured
-    # on v5e (bench.py, 3 runs each): XLA 10.71-10.76 ms/frame, Pallas
-    # per-level 10.84-10.95, Pallas single-dispatch 11.03 — XLA's fusion of
-    # these VPU ops into the surrounding program wins, so it stays the
-    # default; the kernel is kept as the documented alternative (bit-exact,
-    # interpret-tested) for standalone/score-only uses where it is 11x the
-    # dispatch-bound XLA micro-call.
+    # FAST+NMS+raw+blur map source. Default on TPU since round 4:
+    # ORB_FAST_PALLAS=roll, the roll-based fused whole-pyramid kernel
+    # (ops/pallas_fast.fast_pyramid_pallas_roll — aligned writes only,
+    # which is what finally compiled at KITTI geometry; the round-3
+    # slice-based kernel never finished its Mosaic compile at 1241x376).
+    # Measured on v5e, bit-identical keypoints: stereo step 15.76 ->
+    # 11.75 ms/frame (63.5 -> 85.1 fps at 1241x376/2000 feat, beating
+    # the 12 ms round target), mono 2.98 -> 2.77 ms. ORB_FAST_PALLAS=0
+    # restores the XLA formulation (the default off-TPU: interpret-mode
+    # pallas is slow and XLA's fusion is fine on CPU); =1 selects the
+    # older slice-based kernel.
     import os
-    mode = os.environ.get("ORB_FAST_PALLAS", "0")
-    use_pallas = mode not in ("0", "false")
+    mode = os.environ.get("ORB_FAST_PALLAS", _fast_pallas_default())
+    use_pallas = maps is None and mode not in ("0", "false")
 
     if use_pallas:
         # ORB_FAST_PALLAS=roll selects the round-4 roll-based kernel
         # (aligned writes only; the compile-time candidate for 1241x376 —
-        # the slice-based kernel never finished compiling there)
+        # the slice-based kernel never finished compiling there). Batched
+        # callers instead pass precomputed `maps` (flat [lv x (nms, raw,
+        # blur)]) from ONE whole-batch dispatch — see extract_orb_batch.
         fn = (fast_pyramid_pallas_roll if mode == "roll"
               else fast_pyramid_pallas)
         nms_all, raw_all, blur_all = fn(
@@ -270,7 +311,9 @@ def _extract_orb_impl(img, config: OrbConfig, n_features: int = 0):
     for lv in range(n_levels):
         limg = levels[lv]
         H, W = shapes[lv]
-        if use_pallas:
+        if maps is not None:
+            score, raw, blurred = maps[3 * lv], maps[3 * lv + 1], maps[3 * lv + 2]
+        elif use_pallas:
             score, raw, blurred = nms_all[lv], raw_all[lv], blur_all[lv]
         else:
             score = nms_3x3(fast_score_map(limg, float(config.min_th_fast)))

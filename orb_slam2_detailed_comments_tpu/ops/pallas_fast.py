@@ -15,11 +15,23 @@ Three variants, all bit-(near-)exact against the XLA formulation
    stacked vertically (each with a private halo), a scalar-prefetch
    metadata table maps row-tiles to levels.
 
-Measured on v5e: standalone, the tiled kernel is ~11x a standalone-jitted
-XLA micro-call (0.9 vs 10 ms — the latter is dispatch-dominated). INSIDE
-the fused tracking step, XLA's op fusion wins: 10.71-10.76 ms/frame (XLA)
-vs 10.84-11.03 (Pallas variants), so the XLA path is the default and these
-kernels are opt-in (ORB_FAST_PALLAS=1) / for standalone score extraction.
+ * `fast_pyramid_pallas_roll` — round-4 rewrite where every neighborhood
+   access is a pltpu.roll and every write a full aligned block: the
+   slice-based kernel never finished its Mosaic compile at 1241x376
+   (unaligned static slices); this one compiles everywhere and is the
+   TPU DEFAULT since round 4 (ORB_FAST_PALLAS=roll, selected by
+   ops/orb.py). Measured on v5e with bit-identical keypoints: stereo
+   step 15.76 -> 11.73 ms/frame (85 fps at 1241x376/2000 feat), mono
+   2.98 -> 2.77 ms. For a batched extract the maps for ALL images x
+   levels come from ONE dispatch (extract_orb_batch hoists the kernel
+   out of the vmap — Mosaic rejects vmapped HBM-ref pallas calls).
+
+Round-1 context (why the older kernels were non-default): standalone the
+tiled kernel is ~11x a standalone-jitted XLA micro-call (0.9 vs 10 ms —
+dispatch-dominated), but INSIDE the fused tracking step XLA's op fusion
+won (10.71-10.76 vs 10.84-11.03 ms). The roll kernel's single
+whole-pyramid dispatch with aligned writes is what finally beat the XLA
+fusion at both geometries.
 """
 from __future__ import annotations
 
@@ -513,13 +525,21 @@ def _pyramid_tile_kernel_roll(meta_ref, img_hbm, nms_ref, raw_ref, blur_ref,
                                    (HALO_V + TILE_H2, Wtot))
 
 
-@functools.partial(jax.jit, static_argnames=("shapes", "threshold",
-                                             "interpret"))
 def fast_pyramid_pallas_roll(levels, shapes, threshold: float = 7.0,
-                             interpret: bool = False):
+                             interpret=None):
     """Roll-based variant of fast_pyramid_pallas (same contract): fused
     FAST-9/16 + NMS + raw score + 7x7 blur for the whole pyramid in ONE
-    dispatch, with only aligned block writes inside the kernel."""
+    dispatch, with only aligned block writes inside the kernel.
+    interpret=None auto-selects interpret mode off-TPU (CPU tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fast_pyramid_pallas_roll(levels, shapes, threshold, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("shapes", "threshold",
+                                             "interpret"))
+def _fast_pyramid_pallas_roll(levels, shapes, threshold: float = 7.0,
+                              interpret: bool = False):
     n_levels = len(shapes)
     Wtot = max(_round_up(W + 2 * HALO, 128) for _, W in shapes)
 
@@ -552,7 +572,11 @@ def fast_pyramid_pallas_roll(levels, shapes, threshold: float = 7.0,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        # HBM, not ANY: under jax.vmap (the stereo L/R batched extract)
+        # pallas adds a leading grid dim, and Mosaic rejects batched
+        # block specs for ANY-space refs but handles HBM refs (same
+        # lesson as ops/pallas_patch.py)
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=(blk, blk, blk),
         scratch_shapes=[
             pltpu.VMEM((TILE_H2 + 2 * HALO_V, Wtot), jnp.float32),

@@ -262,6 +262,24 @@ class TestPallasFastRollVariant:
                           np.asarray(gaussian_blur(limg))).max() < 1e-3
 
 
+class TestBatchedPallasFastMaps:
+    def test_batched_extract_matches_default_path(self, monkeypatch):
+        """extract_orb_batch with ORB_FAST_PALLAS=roll (the TPU default
+        since round 4) hoists ONE whole-batch map kernel out of the vmap;
+        keypoints must be bit-identical to the XLA map path."""
+        from orb_slam2_detailed_comments_tpu.ops.orb import extract_orb_batch
+        from orb_slam2_detailed_comments_tpu.utils.config import OrbConfig
+        imgs = jnp.stack([jnp.asarray(textured_image(h=120, w=160, seed=s_))
+                          for s_ in (1, 2)])
+        cfg = OrbConfig(n_features=150, max_keypoints=256, n_levels=3)
+        monkeypatch.delenv("ORB_FAST_PALLAS", raising=False)
+        ref = extract_orb_batch(imgs, cfg)
+        monkeypatch.setenv("ORB_FAST_PALLAS", "roll")
+        out = extract_orb_batch(imgs, cfg)
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestOnehotDescriptorPath:
     def test_onehot_matches_gather_path(self, monkeypatch):
         """ORB_DESC_ONEHOT=1 replaces the per-keypoint 512-point patch
