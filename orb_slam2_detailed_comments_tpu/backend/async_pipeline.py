@@ -59,6 +59,15 @@ class AsyncLocalMapper:
     def map(self, m):
         self.mapper.map = m
 
+    def __getattr__(self, name):
+        # full LocalMapper surface: the loop closer calls back into mapper
+        # internals (e.g. _fuse during CorrectLoop's SearchAndFuse) — in
+        # async mode it holds THIS wrapper, which must behave like the
+        # mapper for everything it does not override (round 4: a missing
+        # _fuse crashed loop correction on the worker thread, caught by
+        # the async loop-lap gate)
+        return getattr(object.__getattribute__(self, "mapper"), name)
+
     def on_new_keyframe(self, kf: int, run_ba: bool = True):
         self._idle.clear()
         self.queue.put((kf, run_ba))

@@ -87,6 +87,7 @@ class Tracker:
         self.last_kf_id = -1
         self.last_kf_frame_id = -1
         self.last_reloc_frame_id = -1000000
+        self._lost_streak = 0
         # per-frame relative pose log for trajectory export
         # (reference: Tracking.cc:763-788 mlRelativeFramePoses)
         self.trajectory: list = []   # (frame_id, ts, Tcr, ref_kf, lost)
@@ -234,6 +235,7 @@ class Tracker:
 
         if ok:
             self.state = TrackingState.OK
+            self._lost_streak = 0
             # motion model: velocity = Tcw_cur * Twc_last
             if self.last_frame is not None and self.last_frame.Tcw is not None:
                 Twc_last = se3_inverse_np(self.last_frame.Tcw)
@@ -251,16 +253,22 @@ class Tracker:
         else:
             self.state = TrackingState.LOST
             self.velocity = None
-            # auto-reset if lost while the map is immature (reference:
-            # Tracking.cc:744-753, KeyFramesInMap() <= 5): a young map that
-            # already lost tracking is junk — wipe it and re-initialize
-            # with a fresh (longer-baseline) attempt instead of spinning in
-            # LOST against an unusable map. Round 4 restored the
-            # reference's live-keyframe count (was: <= 2 allocated, which
-            # left narrow-FOV failures permanently LOST at 4-8 dead KFs).
-            if self.map.n_keyframes() <= 5 and not self.localization_only:
+            self._lost_streak += 1
+            # auto-reset if lost while the map is tiny (reference:
+            # Tracking.cc:744-753, KeyFramesInMap() <= 5 resets
+            # IMMEDIATELY). Our keyframe culling keeps even healthy maps
+            # smaller than the reference's, so an immediate wipe would
+            # destroy recoverable maps (the relocalization e2e scene sits
+            # at 3-5 live KFs); instead relocalization gets a 1-second
+            # window (fps frames) first — a junk map (the narrow-FOV weak
+            # init) never relocalizes and still resets for a fresh
+            # longer-baseline init, while a healthy small map recovers.
+            # (Round 4; was <= 2 ALLOCATED keyframes, which left failed
+            # inits permanently LOST at 4-8 dead keyframes.)
+            if (self.map.n_keyframes() <= 5 and not self.localization_only
+                    and self._lost_streak > int(self.config.fps)):
                 if _DBG:
-                    _dbg(f"auto-reset: LOST with "
+                    _dbg(f"auto-reset: LOST {self._lost_streak} frames with "
                          f"{self.map.n_keyframes()} live keyframes")
                 self.reset()
                 return None
@@ -282,6 +290,7 @@ class Tracker:
         """reference: Tracking::Reset (Tracking.cc:2506-2563)."""
         self.map.__init__(self.config)
         self.state = TrackingState.NOT_INITIALIZED
+        self._lost_streak = 0
         self.last_frame = None
         self.init_frame = None
         self.velocity = None
