@@ -54,10 +54,15 @@ def _patch_kernel(xy_ref, img_ref, out_ref, win, sems, *, psize: int,
     pid = pl.program_id(0)
 
     def issue(g):
-        # the XLA side aligned these down to the (8, 128) f32 tiling; the
-        # hint lets Mosaic prove the DMA slice is tile-aligned
-        xa = pl.multiple_of(xy_ref[pid * group + g, 0], 128)
-        ya = pl.multiple_of(xy_ref[pid * group + g, 1], 8)
+        # coords are PACKED two-per-int32 ((v << 16) | u, both < 2^15) to
+        # halve the scalar-prefetch SMEM footprint — SMEM is a 1 MB budget
+        # shared by every kernel in the compiled program, and the stereo
+        # step's four patch calls tipped it over (round 4). The XLA side
+        # aligned the starts down to the (8, 128) f32 tiling; the hints
+        # let Mosaic prove the DMA slice is tile-aligned.
+        packed = xy_ref[0, pid * group + g]
+        xa = pl.multiple_of(packed & 0xFFFF, 128)
+        ya = pl.multiple_of(packed >> 16, 8)
         return pltpu.make_async_copy(
             img_ref.at[:, pl.ds(ya, WIN_H), pl.ds(xa, WIN_W)],
             win.at[g],
@@ -69,8 +74,9 @@ def _patch_kernel(xy_ref, img_ref, out_ref, win, sems, *, psize: int,
         d.start()
     for g, d in enumerate(dmas):
         d.wait()
-        dx = xy_ref[pid * group + g, 2]
-        dy = xy_ref[pid * group + g, 3]
+        packed_r = xy_ref[1, pid * group + g]
+        dx = packed_r & 0xFFFF
+        dy = packed_r >> 16
         # Mosaic vector loads need 8-aligned sublane starts, so the
         # residual offsets cannot be dynamic slice starts; rotate the
         # window so (dy, dx) lands at the origin and take a static slice.
@@ -82,28 +88,39 @@ def _patch_kernel(xy_ref, img_ref, out_ref, win, sems, *, psize: int,
         out_ref[g] = sub[:, :psize8, :psize8]
 
 
-def patch_gather(padded, xy, psize: int = 39, interpret=None):
+def patch_gather(padded, xy, psize: int = 39, interpret=None,
+                 group: int = GROUP, prefetch: bool = True):
     """padded: (C, Hp, Wp) float32 (edge-padded image stack). xy: (B, 2)
     int32 top-left (x, y) of each patch in padded coordinates. Returns
-    (B, C, psize, psize). B is padded up to a multiple of GROUP
+    (B, C, psize, psize). B is padded up to a multiple of `group`
     internally; callers slice back. interpret=None auto-selects interpret
-    mode off-TPU (CPU tests)."""
+    mode off-TPU (CPU tests). `group` = DMAs in flight per grid step;
+    lower it for kernels sharing a program with other scalar-prefetch
+    pallas calls (the 1 MB scoped SMEM arena leaves ZERO headroom for
+    register spills, and the unrolled group loop is the spill source)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _patch_gather(padded, xy, psize, interpret)
+    return _patch_gather(padded, xy, psize, interpret, group, prefetch)
 
 
-@functools.partial(jax.jit, static_argnames=("psize", "interpret"))
-def _patch_gather(padded, xy, psize: int = 39, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("psize", "interpret", "group",
+                                             "prefetch"))
+def _patch_gather(padded, xy, psize: int = 39, interpret: bool = False,
+                  group: int = GROUP, prefetch: bool = True):
     if psize > 40:
         raise ValueError("patch_gather windows sized for psize <= 40")
     C, Hp, Wp = padded.shape
     B = xy.shape[0]
-    g = GROUP
+    g = group
     Bp = ((B + g - 1) // g) * g
     if Bp != B:
         xy = jnp.concatenate(
             [xy, jnp.zeros((Bp - B, 2), xy.dtype)], axis=0)
+    # round the coord row length to a 128 multiple: SMEM windows pad the
+    # MINOR dim to 128 lanes, so a (Bp, 2) layout ballooned to
+    # Bp x 128 x 4 B = 1 MB (the whole SMEM budget, round 4); as (2, Bp128)
+    # it costs its true ~16 KB
+    Bp128 = -(-Bp // 128) * 128
 
     psize8 = (psize + 7) // 8 * 8
     # grow the image so an aligned-down window fits at any legal start:
@@ -127,24 +144,55 @@ def _patch_gather(padded, xy, psize: int = 39, interpret: bool = False):
     # <= Hp - psize, and the window still fits: bound + WIN_H <= Hp+grow_h).
     xa = jnp.clip(xa, 0, Wp_new - WIN_W)
     ya = jnp.clip(ya, 0, ((Hp + grow_h - WIN_H) // 8) * 8)
-    coords = jnp.stack([xa, ya, jnp.clip(x - xa, 0, WIN_W - psize),
-                        jnp.clip(y - ya, 0, WIN_H - psize)], axis=-1)
+    dx = jnp.clip(x - xa, 0, WIN_W - psize)
+    dy = jnp.clip(y - ya, 0, WIN_H - psize)
+    coords = jnp.stack([(ya << 16) | xa, (dy << 16) | dx], axis=0)
+    coords = jnp.pad(coords, ((0, 0), (0, Bp128 - Bp)))
 
-    out = pl.pallas_call(
-        functools.partial(_patch_kernel, psize=psize, psize8=psize8, group=g),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+    # Two spec forms, same kernel:
+    #  * prefetch=True (PrefetchScalarGridSpec): required for vmapped
+    #    callers — its batching rule is what lets extract_orb_batch vmap
+    #    over the L/R pair (a plain HBM-ref call is rejected under vmap).
+    #    Cost: the prefetch operand reserves the ENTIRE 1 MB scoped SMEM
+    #    arena regardless of its 16 KB size.
+    #  * prefetch=False (plain SMEM-space input): the coords cost only
+    #    their own bytes — required when several patch calls share one
+    #    compiled program (the stereo SAD gathers tipped the 1 MB SMEM
+    #    budget over by 144 B with the prefetch form, round 4). Not
+    #    vmap-compatible.
+    kernel = functools.partial(_patch_kernel, psize=psize, psize8=psize8,
+                               group=g)
+    out_shape = jax.ShapeDtypeStruct((Bp, C, psize8, psize8), padded.dtype)
+    scratch = [
+        pltpu.VMEM((g, C, WIN_H, WIN_W), padded.dtype),
+        pltpu.SemaphoreType.DMA((g,)),
+    ]
+    if prefetch:
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(Bp // g,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+                out_specs=pl.BlockSpec(
+                    (g, C, psize8, psize8), lambda i, xy_ref: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(coords, padded)
+    else:
+        out = pl.pallas_call(
+            kernel,
             grid=(Bp // g,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec(
-                (g, C, psize8, psize8), lambda i, xy_ref: (i, 0, 0, 0),
+                (g, C, psize8, psize8), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((g, C, WIN_H, WIN_W), padded.dtype),
-                pltpu.SemaphoreType.DMA((g,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((Bp, C, psize8, psize8), padded.dtype),
-        interpret=interpret,
-    )(coords, padded)
+            scratch_shapes=scratch,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(coords, padded)
     return out[:B, :, :psize, :psize]

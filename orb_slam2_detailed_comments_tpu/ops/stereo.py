@@ -44,10 +44,22 @@ def _gather_patch(img, cx, cy, half_w, half_h):
     return jax.vmap(one)((cx, cy))
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "orb"))
-def stereo_match(kp_l: Keypoints, kp_r: Keypoints, img_l, img_r, cam, orb) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def stereo_match(kp_l: Keypoints, kp_r: Keypoints, img_l, img_r, cam,
+                 orb) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Match left keypoints to the right image; returns (u_right, depth),
-    both (N,) float32 with -1 where unmatched."""
+    both (N,) float32 with -1 where unmatched. The SAD gather backend is
+    resolved OUTSIDE the jit (an env read inside a jitted body is frozen
+    into the first trace and silently ignored afterwards)."""
+    import os
+    default_pallas = "1" if jax.default_backend() == "tpu" else "0"
+    use_pallas = os.environ.get("ORB_PATCH_PALLAS",
+                                default_pallas) not in ("0", "false")
+    return _stereo_match(kp_l, kp_r, img_l, img_r, cam, orb, use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "orb", "use_pallas"))
+def _stereo_match(kp_l: Keypoints, kp_r: Keypoints, img_l, img_r, cam, orb,
+                  use_pallas: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     sf = orb.scale_factor
     scale_r = jnp.asarray([sf ** i for i in range(orb.n_levels)], jnp.float32)[kp_r.octave]
 
@@ -74,8 +86,26 @@ def stereo_match(kp_l: Keypoints, kp_r: Keypoints, img_l, img_r, cam, orb) -> Tu
     xr_best = xr[m.idx]
     xr_i = jnp.clip(jnp.round(xr_best).astype(jnp.int32), 0, img_r.shape[1] - 1)
 
-    tmpl = _gather_patch(img_l, xl_i, yl_i, SAD_HALF, SAD_HALF)          # (N, 11, 11)
-    strip = _gather_patch(img_r, xr_i, yl_i, SAD_HALF + SLIDE, SAD_HALF)  # (N, 11, 21)
+    if use_pallas:
+        # the two vmapped dynamic_slice gathers were the bulk of the SAD
+        # stage (XLA serializes them); the DMA patch kernel that already
+        # replaced the ORB descriptor gathers (ops/pallas_patch.py) does
+        # both in bulk. Valid keypoints carry a >=16 px extraction border,
+        # so the un-clamped starts below stay in range and the values are
+        # bit-identical to the edge-padded _gather_patch (round 4:
+        # stereo step 11.7 -> ~9 ms).
+        from .pallas_patch import patch_gather
+        tmpl = patch_gather(
+            img_l[None], jnp.stack([xl_i - SAD_HALF, yl_i - SAD_HALF], -1),
+            psize=2 * SAD_HALF + 1)[:, 0]               # (N, 11, 11)
+        G = 2 * (SAD_HALF + SLIDE) + 1
+        strip = patch_gather(
+            img_r[None],
+            jnp.stack([xr_i - SAD_HALF - SLIDE, yl_i - SAD_HALF - SLIDE], -1),
+            psize=G)[:, 0, SLIDE:SLIDE + 2 * SAD_HALF + 1, :]
+    else:
+        tmpl = _gather_patch(img_l, xl_i, yl_i, SAD_HALF, SAD_HALF)          # (N, 11, 11)
+        strip = _gather_patch(img_r, xr_i, yl_i, SAD_HALF + SLIDE, SAD_HALF)  # (N, 11, 21)
 
     # normalize by center intensity like the reference (Frame.cc:1020-1033)
     tmpl = tmpl - tmpl[:, SAD_HALF, SAD_HALF][:, None, None]

@@ -73,3 +73,43 @@ class TestStereoPipeline:
         slam, est, gt, n_tracked = result
         fr = slam.tracker.last_frame
         assert (fr.ur >= 0).sum() > 100, "no stereo matches in last frame"
+
+
+class TestSadPallasPath:
+    def test_sad_patch_kernel_bit_identical(self, monkeypatch):
+        """ORB_PATCH_PALLAS=1 (the TPU default) routes the SAD template/
+        strip gathers through the DMA patch kernel; valid keypoints carry
+        a >=16 px extraction border so results must be bit-identical to
+        the XLA edge-padded gathers (round 4)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from orb_slam2_detailed_comments_tpu.ops.orb import extract_orb
+        from orb_slam2_detailed_comments_tpu.ops.stereo import stereo_match
+        from orb_slam2_detailed_comments_tpu.geometry.camera import PinholeCamera
+        from orb_slam2_detailed_comments_tpu.utils.config import OrbConfig
+
+        rng = np.random.default_rng(0)
+        h, w = 240, 320
+        img = np.full((h, w), 40.0, np.float32)
+        ys = rng.integers(10, h - 12, 900)
+        xs = rng.integers(10, w - 12, 900)
+        for y, x in zip(ys, xs):
+            s = rng.integers(3, 9)
+            img[y:y + s, x:x + s] = rng.uniform(60, 250)
+        sh = 8
+        img_r = np.full_like(img, 40.0)
+        img_r[:, :w - sh] = img[:, sh:]
+        cam = PinholeCamera(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
+                            bf=250.0 * 0.1, width=w, height=h)
+        orb = OrbConfig(n_features=300, max_keypoints=512)
+        kl = extract_orb(jnp.asarray(img), orb)
+        kr = extract_orb(jnp.asarray(img_r), orb)
+
+        monkeypatch.setenv("ORB_PATCH_PALLAS", "0")
+        ur0, d0 = stereo_match(kl, kr, jnp.asarray(img), jnp.asarray(img_r),
+                               cam, orb)
+        monkeypatch.setenv("ORB_PATCH_PALLAS", "1")
+        ur1, d1 = stereo_match(kl, kr, jnp.asarray(img), jnp.asarray(img_r),
+                               cam, orb)
+        np.testing.assert_array_equal(np.asarray(ur0), np.asarray(ur1))
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
