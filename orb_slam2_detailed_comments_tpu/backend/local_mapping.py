@@ -566,6 +566,14 @@ class LocalMapper:
             s, e = int(src[j]), int(existing[j])
             if not mp.mp_valid[s] or e == s:
                 continue
+            if not mp.mp_valid[e]:
+                # an earlier replace in this pass killed the existing
+                # point and freed the target slot: this is now a plain
+                # new association, not a merge (ADVICE r4 — the old
+                # routing silently dropped it until a later fuse pass)
+                if mp.kf_mp[kf, int(tgt[j])] < 0:
+                    mp.add_observation(s, kf, int(tgt[j]))
+                continue
             if mp.mp_wobs[e] >= mp.mp_wobs[s]:
                 mp.replace_map_point(s, e)
             else:

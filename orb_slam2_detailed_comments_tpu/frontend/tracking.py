@@ -671,9 +671,12 @@ class Tracker:
 
         # keypoints without a match yet are fair targets
         kp_free = frame.valid & (frame.mp < 0)
-        th = 1.0
+        # RGB-D searches a wider window (reference: Tracking.cc:1943-1944
+        # th=3 for RGBD, else 1); wider still right after relocalization
+        # (reference :1929)
+        th = 3.0 if self.sensor == Sensor.RGBD else 1.0
         if frame.frame_id < self.last_reloc_frame_id + 2:
-            th = 5.0  # wider right after relocalization (reference :1929)
+            th = 5.0
         m = M.search_by_projection(
             proj, jnp.asarray(self.map.mp_desc[mp_pad]),
             jnp.asarray(frame.xy), jnp.asarray(frame.ur),

@@ -107,7 +107,8 @@ def _ic_weights_39():
     return wx.astype(np.float32), wy.astype(np.float32)
 
 
-def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
+def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid,
+                                    use_onehot=None, use_pallas_patch=None):
     """Orientation + rotated BRIEF for one level's keypoints in one pass.
 
     The reference computes IC angles and descriptors in separate per-level
@@ -139,14 +140,14 @@ def _fused_level_angles_descriptors(raw_img, blurred_img, xy, valid):
     the one-hot rides the MXU as 2 passes instead of 6 under the
     package-wide float32-precision default.
     """
-    import os
-    use_onehot = os.environ.get("ORB_DESC_ONEHOT", "1") not in ("0", "false")
-    # default ON on TPU (measured: stereo step 20.2 -> 15.7 ms, mono
-    # unchanged-or-better; bit-identical). Off-TPU the kernel would run
-    # in interpret mode — keep the XLA dynamic_slice path there.
-    default_pallas = "1" if jax.default_backend() == "tpu" else "0"
-    use_pallas_patch = os.environ.get(
-        "ORB_PATCH_PALLAS", default_pallas) not in ("0", "false")
+    # Mode flags must be resolved OUTSIDE any jit (an env read inside a
+    # jitted body freezes into the first trace); jitted callers pass them
+    # explicitly. The env fallback below serves direct un-jitted callers
+    # (tests) only.
+    if use_onehot is None or use_pallas_patch is None:
+        onehot, _, patch = _resolve_orb_modes()
+        use_onehot = onehot if use_onehot is None else use_onehot
+        use_pallas_patch = patch if use_pallas_patch is None else use_pallas_patch
 
     wx39, wy39 = map(jnp.asarray, _ic_weights_39())
     x0, y0, x1, y1 = map(jnp.asarray, _pattern_arrays())
@@ -215,22 +216,52 @@ def _pattern_arrays(seed: int = 1234):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_features"))
+def _fast_pallas_default() -> str:
+    return "roll" if jax.default_backend() == "tpu" else "0"
+
+
+def _resolve_orb_modes():
+    """Resolve the kernel-selection env flags OUTSIDE any jit boundary.
+
+    An `os.environ` read inside a jitted body is frozen into the first
+    trace per (shape, config) and later env changes are silently ignored
+    (the stereo_match bug class, see ops/stereo.py:50-57). The un-jitted
+    public wrappers call this and pass the result down as static args, so
+    every mode combination gets its own trace.
+
+    Returns (use_onehot, fast_mode, use_pallas_patch); fast_mode is ""
+    when the pallas FAST maps are disabled.
+    """
+    import os
+    use_onehot = os.environ.get("ORB_DESC_ONEHOT", "1") not in ("0", "false")
+    # Patch/onehot defaults: ON on TPU (measured: stereo step 20.2 ->
+    # 15.7 ms, mono unchanged-or-better). Off-TPU the pallas kernel would
+    # run in interpret mode — keep the XLA dynamic_slice path there.
+    default_patch = "1" if jax.default_backend() == "tpu" else "0"
+    use_pallas_patch = os.environ.get(
+        "ORB_PATCH_PALLAS", default_patch) not in ("0", "false")
+    fast_mode = os.environ.get("ORB_FAST_PALLAS", _fast_pallas_default())
+    if fast_mode in ("0", "false"):
+        fast_mode = ""
+    return use_onehot, fast_mode, use_pallas_patch
+
+
 def extract_orb(img, config: OrbConfig, n_features: int = 0):
     """Extract ORB features from a (H, W) float32 grayscale image in [0,255].
 
     Returns a Keypoints with capacity config.max_keypoints (padded, masked).
     `n_features` overrides config.n_features when nonzero (the reference
     doubles the budget during monocular init, Tracking.cc:180-182).
+    Un-jitted wrapper: kernel modes resolve per call, not per trace.
     """
-    return _extract_orb_impl(img, config, n_features)
+    return _extract_orb_jit(img, config, n_features, _resolve_orb_modes())
 
 
-def _fast_pallas_default() -> str:
-    return "roll" if jax.default_backend() == "tpu" else "0"
+@functools.partial(jax.jit, static_argnames=("config", "n_features", "modes"))
+def _extract_orb_jit(img, config: OrbConfig, n_features: int, modes):
+    return _extract_orb_impl(img, config, n_features, modes=modes)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_features"))
 def extract_orb_batch(imgs, config: OrbConfig, n_features: int = 0):
     """Batched extraction over a leading image axis: (B, H, W) -> Keypoints
     with (B, ...) leading dims, ONE dispatch. The stereo frontend feeds the
@@ -242,10 +273,15 @@ def extract_orb_batch(imgs, config: OrbConfig, n_features: int = 0):
     per-image extraction (a vmapped pallas_call over an HBM-space ref is
     rejected by the Mosaic lowering; hoisting the kernel out of the vmap
     is also simply the better program — one metadata-driven grid covers
-    the whole batch)."""
-    import os
-    mode = os.environ.get("ORB_FAST_PALLAS", _fast_pallas_default())
-    if mode not in ("0", "false"):
+    the whole batch). Un-jitted wrapper (see _resolve_orb_modes)."""
+    return _extract_orb_batch_jit(imgs, config, n_features,
+                                  _resolve_orb_modes())
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_features", "modes"))
+def _extract_orb_batch_jit(imgs, config: OrbConfig, n_features: int, modes):
+    mode = modes[1]
+    if mode:
         from .pallas_fast import fast_pyramid_pallas, fast_pyramid_pallas_roll
         B = int(imgs.shape[0])
         n_levels, sf = config.n_levels, config.scale_factor
@@ -266,12 +302,18 @@ def extract_orb_batch(imgs, config: OrbConfig, n_features: int = 0):
                     [arrs[b * n_levels + lv] for b in range(B)]))
         return jax.vmap(
             lambda im, *mf: _extract_orb_impl(im, config, n_features,
-                                              maps=mf))(imgs, *maps_flat)
-    return jax.vmap(lambda im: _extract_orb_impl(im, config, n_features))(imgs)
+                                              maps=mf, modes=modes))(
+            imgs, *maps_flat)
+    return jax.vmap(
+        lambda im: _extract_orb_impl(im, config, n_features,
+                                     modes=modes))(imgs)
 
 
 def _extract_orb_impl(img, config: OrbConfig, n_features: int = 0,
-                      maps=None):
+                      maps=None, modes=None):
+    if modes is None:
+        modes = _resolve_orb_modes()
+    use_onehot, fast_mode, use_pallas_patch = modes
     n_feat = int(n_features) if n_features else config.n_features
     n_levels = config.n_levels
     sf = config.scale_factor
@@ -286,15 +328,15 @@ def _extract_orb_impl(img, config: OrbConfig, n_features: int = 0,
     # (ops/pallas_fast.fast_pyramid_pallas_roll — aligned writes only,
     # which is what finally compiled at KITTI geometry; the round-3
     # slice-based kernel never finished its Mosaic compile at 1241x376).
-    # Measured on v5e, bit-identical keypoints: stereo step 15.76 ->
-    # 11.75 ms/frame (63.5 -> 85.1 fps at 1241x376/2000 feat, beating
-    # the 12 ms round target), mono 2.98 -> 2.77 ms. ORB_FAST_PALLAS=0
-    # restores the XLA formulation (the default off-TPU: interpret-mode
-    # pallas is slow and XLA's fusion is fine on CPU); =1 selects the
-    # older slice-based kernel.
-    import os
-    mode = os.environ.get("ORB_FAST_PALLAS", _fast_pallas_default())
-    use_pallas = maps is None and mode not in ("0", "false")
+    # Measured on v5e, keypoint-equivalent output (float-eps score map
+    # differences only): stereo step 15.76 -> 11.75 ms/frame (63.5 ->
+    # 85.1 fps at 1241x376/2000 feat, beating the 12 ms round target),
+    # mono 2.98 -> 2.77 ms. ORB_FAST_PALLAS=0 restores the XLA
+    # formulation (the default off-TPU: interpret-mode pallas is slow and
+    # XLA's fusion is fine on CPU); =1 selects the older slice-based
+    # kernel. The mode arrives via `modes` (resolved outside jit).
+    mode = fast_mode
+    use_pallas = maps is None and bool(mode)
 
     if use_pallas:
         # ORB_FAST_PALLAS=roll selects the round-4 roll-based kernel
@@ -352,7 +394,9 @@ def _extract_orb_impl(img, config: OrbConfig, n_features: int = 0,
         dy = jnp.where(jnp.abs(deny) > 1e-6, 0.5 * (su - sd) / jnp.where(jnp.abs(deny) > 1e-6, deny, 1.0), 0.0)
         subpix = jnp.stack([jnp.clip(dx, -0.5, 0.5), jnp.clip(dy, -0.5, 0.5)], axis=-1)
 
-        ang, desc = _fused_level_angles_descriptors(limg, blurred, xy_i, valid)
+        ang, desc = _fused_level_angles_descriptors(
+            limg, blurred, xy_i, valid,
+            use_onehot=use_onehot, use_pallas_patch=use_pallas_patch)
 
         # half-pixel-correct mapping to level-0 coordinates: bilinear resize
         # aligns pixel CENTERS, so x0 = (xl + 0.5) * (W0/Wl) - 0.5. The

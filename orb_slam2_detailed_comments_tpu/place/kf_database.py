@@ -40,7 +40,23 @@ class KeyFrameDatabase:
         # RE-ADDED slots purge their old words first (see add())
         self.inv: Dict[int, List[int]] = {}
 
+    def _grow(self, need: int) -> None:
+        """Track MapStore's growable keyframe capacity (slot ids are
+        persistent and unbounded on long routes)."""
+        new = max(int(self.KF_CAP * 1.5 + 1), need + 1)
+        extra = new - self.KF_CAP
+        self.kf_words = np.concatenate(
+            [self.kf_words, np.zeros((extra, self.W_CAP), np.int64)])
+        self.kf_weights = np.concatenate(
+            [self.kf_weights, np.zeros((extra, self.W_CAP), np.float32)])
+        self.kf_n_words = np.concatenate(
+            [self.kf_n_words, np.zeros(extra, np.int32)])
+        self.active = np.concatenate([self.active, np.zeros(extra, bool)])
+        self.KF_CAP = new
+
     def add(self, kf: int, bow: np.ndarray) -> None:
+        if kf >= self.KF_CAP:
+            self._grow(kf)
         # re-adding a slot (vocabulary swap, recycled KF id) must purge
         # its OLD words from the inverted lists first — _common_words
         # assumes a KF appears at most once per word list

@@ -338,7 +338,11 @@ def initialize_two_view(uv1, uv2, valid, K, seed: int = 0,
 
     uv1/uv2: (M, 2) float32 matched undistorted keypoints; valid: (M,) bool.
     K: (3, 3) intrinsics. min_parallax: acceptance threshold in degrees on
-    the 50th-best parallax (None = scale-aware min_parallax_for(fx)).
+    the 50th-best parallax. None = the reference's fixed 1.0-deg gate
+    (MIN_PARALLAX_DEG, Initializer.h:85); callers in depth-accuracy-
+    critical regimes (narrow FOV, large fx/width) should pass the
+    scale-aware min_parallax_for(fx) instead — see that helper's
+    docstring for the round-4 narrow-FOV failure analysis.
     Returns None on failure — the caller keeps its reference frame, so the
     next attempt pairs a LONGER baseline (Tracking keeps mInitialFrame
     while matches stay >= 100, Tracking.cc:918-971).

@@ -257,6 +257,8 @@ def solve_pnp_ransac(pts3d: np.ndarray, uv: np.ndarray, valid: np.ndarray,
         ts.append(t_p)
         oks.append(ok_p)
 
+    if not Rs:  # both hypothesis pools disabled/empty: no-solution, not a crash
+        return None
     R_all = np.concatenate(Rs)
     t_all = np.concatenate(ts)
     ok_all = np.concatenate(oks)

@@ -106,9 +106,65 @@ class MapStore:
     # keyframes
     # ------------------------------------------------------------------
 
+    # KF-dim arrays resized together on growth (covis is special-cased:
+    # it grows along both dims)
+    _KF_ARRAYS = ("kf_valid kf_Tcw kf_xy kf_octave kf_angle kf_response "
+                  "kf_desc kf_kp_valid kf_ur kf_depth kf_mp kf_frame_id "
+                  "kf_timestamp kf_not_erase kf_pending_erase kf_Tcp "
+                  "parent").split()
+    _MP_ARRAYS = ("mp_valid mp_pos mp_normal mp_desc mp_min_dist mp_max_dist "
+                  "mp_ref_kf mp_first_kf mp_visible mp_found mp_obs_kf "
+                  "mp_obs_idx mp_n_obs mp_wobs").split()
+
+    @staticmethod
+    def _grown(arr: np.ndarray, new_n: int) -> np.ndarray:
+        """Extend arr's leading dim to new_n, padding with the array's
+        "empty" fill (the value a freshly-constructed trailing slot has)."""
+        extra = new_n - arr.shape[0]
+        pad = np.empty((extra,) + arr.shape[1:], arr.dtype)
+        # zeros/identity here; callers correct the -1 "none" fills after
+        if arr.ndim == 3 and arr.shape[1:] == (4, 4):
+            pad[:] = np.eye(4, dtype=arr.dtype)
+        else:
+            pad[:] = 0
+        return np.concatenate([arr, pad])
+
+    def _grow_keyframes(self) -> None:
+        """Grow keyframe capacity 1.5x. Slot ids are persistent (never
+        recycled — culled slots keep the Tcp/parent chain that trajectory
+        recovery and the logged per-frame ref ids depend on, reference:
+        System.cc:534-556); long routes therefore GROW instead of raising
+        (the reference's KF ids are unbounded, KeyFrame.cc mnId)."""
+        new = int(self.KF_CAP * 1.5 + 1)
+        for name in self._KF_ARRAYS:
+            setattr(self, name, self._grown(getattr(self, name), new))
+        # correct the fills the generic rule gets wrong
+        self.kf_frame_id[self.KF_CAP:] = -1
+        self.parent[self.KF_CAP:] = -1
+        self.kf_mp[self.KF_CAP:] = -1
+        self.kf_ur[self.KF_CAP:] = -1.0
+        self.kf_depth[self.KF_CAP:] = -1.0
+        covis = np.zeros((new, new), np.int32)
+        covis[: self.KF_CAP, : self.KF_CAP] = self.covis
+        self.covis = covis
+        self.KF_CAP = new
+
+    def _grow_map_points(self) -> None:
+        """Grow map-point capacity 1.5x (free-listed culled slots are
+        recycled first; growth happens only when live points exceed cap)."""
+        new = int(self.MP_CAP * 1.5 + 1)
+        old = self.MP_CAP
+        for name in self._MP_ARRAYS:
+            setattr(self, name, self._grown(getattr(self, name), new))
+        self.mp_ref_kf[old:] = -1
+        self.mp_first_kf[old:] = -1
+        self.mp_obs_kf[old:] = -1
+        self.mp_obs_idx[old:] = -1
+        self.MP_CAP = new
+
     def add_keyframe(self, frame: FrameData) -> int:
         if self.n_kf >= self.KF_CAP:
-            raise RuntimeError(f"keyframe capacity {self.KF_CAP} exhausted")
+            self._grow_keyframes()
         k = self.n_kf
         self.n_kf += 1
         self.kf_valid[k] = True
@@ -155,7 +211,7 @@ class MapStore:
             m = self._mp_free.pop()
         else:
             if self.n_mp >= self.MP_CAP:
-                raise RuntimeError(f"map point capacity {self.MP_CAP} exhausted")
+                self._grow_map_points()
             m = self.n_mp
             self.n_mp += 1
         self.mp_valid[m] = True
@@ -191,8 +247,8 @@ class MapStore:
             ids[i] = self._mp_free.pop()
         n_new = N - n_free
         if n_new:
-            if self.n_mp + n_new > self.MP_CAP:
-                raise RuntimeError(f"map point capacity {self.MP_CAP} exhausted")
+            while self.n_mp + n_new > self.MP_CAP:
+                self._grow_map_points()
             ids[n_free:] = np.arange(self.n_mp, self.n_mp + n_new)
             self.n_mp += n_new
         self.mp_valid[ids] = True
@@ -593,13 +649,27 @@ class MapStore:
     @classmethod
     def restore(cls, config: SlamConfig, data: dict) -> "MapStore":
         ms = cls(config)
+        # a checkpoint taken after capacity growth carries larger arrays:
+        # grow the fresh store to at least the stored capacities first
+        kf_cap = int(np.asarray(data["kf_valid"]).shape[0])
+        mp_cap = int(np.asarray(data["mp_valid"]).shape[0])
+        while ms.KF_CAP < kf_cap:
+            ms._grow_keyframes()
+        while ms.MP_CAP < mp_cap:
+            ms._grow_map_points()
         for k, v in data.items():
             if k == "loop_edges":
                 ms.loop_edges = {tuple(e) for e in np.asarray(v).reshape(-1, 2)}
             elif k in ("n_kf", "n_mp"):
                 setattr(ms, k, int(v))
             else:
-                getattr(ms, k)[...] = v
+                # growth may overshoot the stored capacity: assign into
+                # the leading slice(s); trailing slots keep their empty fill
+                tgt, arr = getattr(ms, k), np.asarray(v)
+                if k == "covis":
+                    tgt[: arr.shape[0], : arr.shape[1]] = arr
+                else:
+                    tgt[: arr.shape[0]] = arr
         ms._mp_free = [i for i in range(ms.n_mp) if not ms.mp_valid[i]]
         if "mp_wobs" not in data:  # checkpoints from before weighted counts
             for m in np.nonzero(ms.mp_valid)[0]:

@@ -71,11 +71,17 @@ class StreamingViewer:
         path = os.path.join(self.out_dir, "control")
         if not os.path.exists(path):
             return []
+        # Atomic claim: rename the file out from under concurrent
+        # appenders before reading. A writer that raced the rename either
+        # completed its append first (we read it) or creates a fresh
+        # control file (next poll reads it); read+truncate-in-place
+        # destroyed commands appended in between (ADVICE r4).
+        claimed = path + ".consuming"
         try:
-            with open(path, "r+") as f:
+            os.replace(path, claimed)
+            with open(claimed) as f:
                 lines = [ln.strip() for ln in f.readlines() if ln.strip()]
-                f.seek(0)
-                f.truncate()
+            os.remove(claimed)
         except OSError:
             return []
         done = []

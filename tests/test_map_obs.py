@@ -171,3 +171,86 @@ class TestCullingUsesWeightedCount:
         lm.recent_points = [m]
         lm._map_point_culling(kfs[2])   # wobs=2 <= 3 at age 2 -> culled
         assert not ms.mp_valid[m]
+
+
+class TestCapacityGrowth:
+    """Long routes must never die on slot capacity (VERDICT r4 task 3).
+    The reference's KeyFrame ids are unbounded (KeyFrame.cc mnId);
+    MapStore keeps slot ids persistent (culled slots hold the mTcp/parent
+    chain trajectory recovery walks, System.cc:534-556) and GROWS all
+    KF/MP-dim arrays instead of raising."""
+
+    def test_3000_keyframes_with_culling(self):
+        ms = make_store()
+        assert ms.KF_CAP == 16
+        culled = []
+        for k in range(3000):
+            kid = add_kf(ms, k, stereo_idx=[0])
+            if kid >= 2:
+                ms.covis[kid, kid - 1] = ms.covis[kid - 1, kid] = 30
+                if ms.parent[kid] < 0:
+                    ms.parent[kid] = kid - 1
+            # cull every other keyframe, like KeyFrameCulling on a
+            # redundant-dense route
+            if kid >= 2 and kid % 2 == 0:
+                ms.erase_keyframe(kid)
+                culled.append(kid)
+        assert ms.n_kf == 3000
+        assert ms.KF_CAP >= 3000
+        assert ms.n_keyframes() == 3000 - len(culled)
+        # grown graph arrays stay consistent
+        assert ms.covis.shape == (ms.KF_CAP, ms.KF_CAP)
+        assert ms.parent.shape[0] == ms.KF_CAP
+        # culled slots keep the frozen Tcp + parent chain for trajectory
+        # recovery; fresh slots past the original cap have identity poses
+        for kid in culled[:5]:
+            assert not ms.kf_valid[kid]
+            assert ms.parent[kid] >= 0
+
+    def test_map_point_growth_batch_and_scalar(self):
+        ms = make_store()
+        assert ms.MP_CAP == 512
+        k0 = add_kf(ms, 0, stereo_idx=[0])
+        # batch growth path
+        for i in range(20):
+            pos = np.random.default_rng(i).normal(size=(60, 3)).astype(np.float32)
+            ms.add_map_points_batch(pos, k0, np.arange(60) % 64)
+        assert ms.n_mp == 1200
+        assert ms.MP_CAP >= 1200
+        assert ms.mp_valid.sum() > 0
+        # scalar growth path on a fresh store
+        ms2 = make_store()
+        k0 = add_kf(ms2, 0)
+        for i in range(600):
+            ms2.add_map_point(np.zeros(3, np.float32), k0)
+        assert ms2.n_mp == 600 and ms2.MP_CAP >= 600
+
+    def test_restore_after_growth(self):
+        ms = make_store()
+        for k in range(40):   # grows past the 16-slot initial cap
+            add_kf(ms, k)
+        m = ms.add_map_point(np.array([0, 0, 5], np.float32), 20)
+        ms.add_observation(m, 20, 3)
+        data = ms.checkpoint()
+        ms2 = MapStore.restore(ms.config, data)
+        assert ms2.n_kf == 40
+        assert ms2.kf_valid[:40].all()
+        assert ms2.mp_valid[m]
+        assert ms2.mp_obs_kf[m, 0] == 20
+
+    def test_kf_database_growth(self):
+        from orb_slam2_detailed_comments_tpu.place.kf_database import (
+            KeyFrameDatabase)
+        from orb_slam2_detailed_comments_tpu.place.vocabulary import (
+            BinaryVocabulary)
+        rng = np.random.default_rng(0)
+        voc = BinaryVocabulary.train(
+            rng.integers(0, 2**32, (256, 8), dtype=np.uint32), n_words=32,
+            seed=0)
+        db = KeyFrameDatabase(voc, max_keyframes=8)
+        bow = np.zeros(32, np.float32)
+        bow[:5] = 0.2
+        for kf in range(50):
+            db.add(kf, bow)
+        assert db.KF_CAP >= 50
+        assert db.active[:50].all()

@@ -265,19 +265,44 @@ class TestPallasFastRollVariant:
 class TestBatchedPallasFastMaps:
     def test_batched_extract_matches_default_path(self, monkeypatch):
         """extract_orb_batch with ORB_FAST_PALLAS=roll (the TPU default
-        since round 4) hoists ONE whole-batch map kernel out of the vmap;
-        keypoints must be bit-identical to the XLA map path."""
+        since round 4) hoists ONE whole-batch map kernel out of the vmap.
+        The kernel modes are now static jit args resolved per call
+        (round-5 ADVICE fix), so the two calls below genuinely trace both
+        paths — previously the second call hit the first call's jit cache
+        and this test compared the XLA path to itself. The roll kernel's
+        score maps agree with the XLA maps only to float-eps (different
+        summation order), so selection/octave/validity must match exactly
+        while xy/response/angle carry an eps tolerance and descriptors may
+        flip isolated near-tie bits."""
         from orb_slam2_detailed_comments_tpu.ops.orb import extract_orb_batch
         from orb_slam2_detailed_comments_tpu.utils.config import OrbConfig
         imgs = jnp.stack([jnp.asarray(textured_image(h=120, w=160, seed=s_))
                           for s_ in (1, 2)])
         cfg = OrbConfig(n_features=150, max_keypoints=256, n_levels=3)
-        monkeypatch.delenv("ORB_FAST_PALLAS", raising=False)
+        monkeypatch.setenv("ORB_FAST_PALLAS", "0")
         ref = extract_orb_batch(imgs, cfg)
         monkeypatch.setenv("ORB_FAST_PALLAS", "roll")
         out = extract_orb_batch(imgs, cfg)
-        for a, b in zip(ref, out):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(out.valid))
+        np.testing.assert_array_equal(np.asarray(ref.octave), np.asarray(out.octave))
+        v = np.asarray(ref.valid)
+        same = (np.abs(np.asarray(ref.xy) - np.asarray(out.xy)).max(-1) < 1e-3) & v
+        # score ties between cells can legitimately swap a few selections
+        # between the paths; demand near-total row agreement
+        assert same.sum() >= 0.95 * v.sum(), (
+            f"only {same.sum()}/{v.sum()} keypoints agree")
+        np.testing.assert_allclose(np.asarray(ref.response)[same],
+                                   np.asarray(out.response)[same], rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(ref.angle)[same],
+                                   np.asarray(out.angle)[same], atol=1e-3)
+        # descriptor bits flip only on float-eps ties; a near-tie ANGLE
+        # that crosses an offset-rounding boundary can flip several bits
+        # on one keypoint, so gate the distribution, not the max
+        ham = np.bitwise_count(np.bitwise_xor(
+            np.asarray(ref.desc)[same], np.asarray(out.desc)[same])).sum(-1)
+        assert ham.mean() < 1.5, f"mean descriptor hamming {ham.mean():.2f}"
+        assert (ham == 0).mean() >= 0.6, f"{(ham == 0).mean():.2%} identical"
+        assert (ham <= 4).mean() >= 0.95, f"{(ham <= 4).mean():.2%} within 4 bits"
 
 
 class TestOnehotDescriptorPath:
