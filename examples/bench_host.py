@@ -92,6 +92,12 @@ BOUNDARIES = [
      "global_bundle_adjustment"),
     ("orb_slam2_detailed_comments_tpu.geometry.se3", "se3_renormalize"),
     ("orb_slam2_detailed_comments_tpu.geometry.se3", "se3_inverse"),
+    # round-5 fused frame path (ORB_FUSED_TRACK=1): the whole frame is one
+    # device call; the pad scatter is the only other device boundary
+    ("orb_slam2_detailed_comments_tpu.models.slam_step", "fused_stereo_frame"),
+    ("orb_slam2_detailed_comments_tpu.models.slam_step", "fused_mono_frame"),
+    ("orb_slam2_detailed_comments_tpu.models.slam_step", "fused_rgbd_frame"),
+    ("orb_slam2_detailed_comments_tpu.frontend.device_map", "_scatter_rows"),
 ]
 
 

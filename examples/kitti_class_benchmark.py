@@ -44,7 +44,8 @@ import numpy as np
 
 
 def run(n_frames=1000, width=640, height=480, features=2000, radius=50.0,
-        laps=2.0, path_ratio=0.5, seed=0, progress=True, sensor="stereo"):
+        laps=2.0, path_ratio=0.5, seed=0, progress=True, sensor="stereo",
+        trajectory="loop", blackout_at=-1.0, blackout_frames=30):
     """Returns a result dict (ate, travel, fractions, loop stats).
 
     sensor="stereo" (default, the KITTI modality): the right image is
@@ -54,8 +55,17 @@ def run(n_frames=1000, width=640, height=480, features=2000, radius=50.0,
     Frame.cc:880-1176). sensor="rgbd" keeps the round-2 perfect-depth
     variant for A/B. sensor="mono" runs the monocular pipeline
     (free-scale Sim3 loops, scale-aligned ATE, per-lap scale-drift
-    stats — the long-run regime VERDICT r2 task 9 asked for)."""
-    from synthetic_world import CylinderWorld, loop_trajectory
+    stats — the long-run regime VERDICT r2 task 9 asked for).
+
+    trajectory="route" (round 5, VERDICT r4 task 2): the 4-phase
+    exploration route (synthetic_world.route_trajectory) instead of the
+    plain circle — hundreds of live keyframes at loop time, 3 loop
+    closures, the essential graph at K in the hundreds INSIDE the
+    pipeline. blackout_at (fraction of the run) injects
+    `blackout_frames` black frames — a kidnap — and the result records
+    whether relocalization recovered (VERDICT r4 task 8)."""
+    from synthetic_world import (CylinderWorld, loop_trajectory,
+                                 route_trajectory)
     from orb_slam2_detailed_comments_tpu.evaluation.ate import ate_rmse
     from orb_slam2_detailed_comments_tpu.frontend.tracking import (
         Sensor, TrackingState)
@@ -73,9 +83,12 @@ def run(n_frames=1000, width=640, height=480, features=2000, radius=50.0,
     world = CylinderWorld(fx=fx, fy=fx, cx=width / 2, cy=height / 2,
                           width=width, height=height, radius=radius,
                           texture_seed=seed)
-    overlap = max(int(n_frames * 0.12 / max(laps, 1.0)), 12)
-    poses = loop_trajectory(n_frames, path_radius=path_ratio * radius,
-                            laps=laps, overlap=overlap)
+    if trajectory == "route":
+        poses = route_trajectory(n_frames, radius)
+    else:
+        overlap = max(int(n_frames * 0.12 / max(laps, 1.0)), 12)
+        poses = loop_trajectory(n_frames, path_radius=path_ratio * radius,
+                                laps=laps, overlap=overlap)
     kp_cap = 1 << int(np.ceil(np.log2(features + 1)))
     cfg = SlamConfig(
         camera=PinholeCamera(fx=fx, fy=fx, cx=width / 2, cy=height / 2,
@@ -94,19 +107,35 @@ def run(n_frames=1000, width=640, height=480, features=2000, radius=50.0,
     Tb = np.eye(4, dtype=np.float32)
     Tb[0, 3] = -baseline
 
+    bo_start = int(blackout_at * n_frames) if blackout_at > 0 else -1
+    bo_end = bo_start + blackout_frames if bo_start > 0 else -1
+    black = np.zeros((height, width), np.float32)
+
     est, gt, states = [], [], []
+    kfs_live = []            # live-KF count sampled at each loop closure
+    reloc_frame = -1         # first OK frame after the blackout
     t_start = time.perf_counter()
+    n_loops_seen = 0
     for i in range(n_frames):
-        img = world.render(poses[i])
+        kidnapped = bo_start <= i < bo_end
+        img = black if kidnapped else world.render(poses[i])
         if stereo:
-            img_r = world.render((Tb @ poses[i]).astype(np.float32))
+            img_r = black if kidnapped else world.render(
+                (Tb @ poses[i]).astype(np.float32))
             Tcw = slam.track_stereo(img, img_r, i * 0.1)
         elif mono:
             Tcw = slam.track_monocular(img, i * 0.1)
         else:
-            depth = world.render_depth(poses[i])
+            depth = (np.zeros_like(black) if kidnapped
+                     else world.render_depth(poses[i]))
             Tcw = slam.track_rgbd(img, depth, i * 0.1)
         states.append(slam.tracking_state)
+        if slam.loop_closer and slam.loop_closer.n_loops_closed > n_loops_seen:
+            n_loops_seen = slam.loop_closer.n_loops_closed
+            kfs_live.append((i, int(slam.map.n_keyframes())))
+        if (reloc_frame < 0 and bo_end > 0 and i >= bo_end
+                and slam.tracking_state == TrackingState.OK):
+            reloc_frame = i
         if Tcw is not None and slam.tracking_state == TrackingState.OK:
             est.append(np.linalg.inv(Tcw)[:3, 3])
             gt.append(-poses[i, :3, :3].T @ poses[i, :3, 3])
@@ -146,7 +175,7 @@ def run(n_frames=1000, width=640, height=480, features=2000, radius=50.0,
             streaks.append([i, i])
     res = {
         "frames": n_frames, "resolution": f"{width}x{height}",
-        "sensor": sensor,
+        "sensor": sensor, "trajectory": trajectory,
         "features": features, "travel_m": round(travel, 2),
         "ate_rmse_m": round(ate, 4),
         "ate_live_m": round(ate_live, 4),
@@ -157,7 +186,15 @@ def run(n_frames=1000, width=640, height=480, features=2000, radius=50.0,
         "loops_closed": int(slam.loop_closer.n_loops_closed),
         "wall_s": round(time.perf_counter() - t_start, 1),
         "lost_streaks": [(a, b) for a, b in streaks[:10]],
+        "kfs_live_at_loops": kfs_live,
+        "fused_frames": int(getattr(slam.tracker, "fused_frames", 0)),
+        "staged_frames": int(getattr(slam.tracker, "staged_frames", 0)),
     }
+    if bo_start > 0:
+        res["blackout"] = [bo_start, bo_end]
+        res["reloc_recovered"] = reloc_frame >= 0
+        res["reloc_latency_frames"] = (reloc_frame - bo_end
+                                       if reloc_frame >= 0 else -1)
     if mono:
         # per-lap scale drift: align each lap's recovered segment to gt
         # with its own similarity; the lap-to-lap scale ratio is the drift
@@ -248,11 +285,18 @@ def main():
     ap.add_argument("--laps", type=float, default=2.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sensor", choices=("stereo", "rgbd", "mono"), default="stereo")
+    ap.add_argument("--trajectory", choices=("loop", "route"), default="loop")
+    ap.add_argument("--blackout-at", type=float, default=-1.0,
+                    help="fraction of the run at which to inject a "
+                         "30-frame blackout (kidnap test)")
+    ap.add_argument("--blackout-frames", type=int, default=30)
     ap.add_argument("--json", default="")
     args = ap.parse_args()
     res = run(args.frames, args.width, args.height, args.features,
               args.radius, laps=args.laps, seed=args.seed,
-              sensor=args.sensor)
+              sensor=args.sensor, trajectory=args.trajectory,
+              blackout_at=args.blackout_at,
+              blackout_frames=args.blackout_frames)
     print(json.dumps(res))
     if args.json:
         with open(args.json, "w") as f:

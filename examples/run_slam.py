@@ -114,6 +114,19 @@ def main():
     slam.save_trajectory_kitti(out + "_kitti.txt")
     slam.save_keyframe_trajectory_tum(out + "_kf_tum.txt")
     print(f"trajectories written to {out}_*.txt")
+
+    # auto-ATE/RPE when the dataset ships ground truth (the reference
+    # defers this to the external TUM scripts, README.md:192-196)
+    from orb_slam2_detailed_comments_tpu.evaluation.gt_eval import (
+        evaluate_against_gt)
+    from orb_slam2_detailed_comments_tpu.io.trajectory import (
+        recover_frame_trajectory)
+    frames = recover_frame_trajectory(slam.tracker.trajectory, slam.map)
+    metrics = evaluate_against_gt(mode, seq, frames,
+                                  mono=(sensor == Sensor.MONOCULAR))
+    if metrics is not None:
+        import json
+        print("ground-truth evaluation:", json.dumps(metrics))
     return 0
 
 

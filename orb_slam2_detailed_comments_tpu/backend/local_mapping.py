@@ -40,6 +40,13 @@ BA_BUCKETS = (
     (32, 8192, 24576),
     (64, 16384, 49152),
 )
+# Optional 128-cam bucket (VERDICT r4 task 5): the reference's local BA
+# includes ALL covisible keyframes + every other observer as fixed
+# (Optimizer.cc:637-716) with no cap; our 64-cam top bucket truncates
+# dense windows (counted in counters). ORB_BA_BUCKET128=1 raises the top
+# bucket; accuracy/cost A/B on the long-route gate is in BASELINE.md.
+if os.environ.get("ORB_BA_BUCKET128", "") not in ("", "0", "false"):
+    BA_BUCKETS = BA_BUCKETS + ((128, 24576, 98304),)
 BA_CAM_CAP, BA_PT_CAP, BA_EDGE_CAP = BA_BUCKETS[-1]
 
 

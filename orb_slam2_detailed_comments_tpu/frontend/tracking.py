@@ -102,6 +102,22 @@ class Tracker:
         # depth threshold for close/far stereo points
         self.th_depth = config.th_depth * config.camera.baseline if config.camera.bf > 0 else np.inf
 
+        # fused frame path (round 5): ONE device dispatch per steady-state
+        # frame against the device-resident local map, replacing the
+        # staged TrackWithMotionModel/TrackLocalMap host loop with its
+        # ~110 device_puts/frame (VERDICT r4 task 1). Default on TPU;
+        # ORB_FUSED_TRACK=1/0 overrides. The staged path remains for every
+        # non-steady state (init, LOST/reloc, localization/VO mode, post-
+        # reloc grace) and as the in-frame fallback when the fused gate
+        # fails.
+        import jax
+        default_fused = "1" if jax.default_backend() == "tpu" else "0"
+        self.use_fused = os.environ.get(
+            "ORB_FUSED_TRACK", default_fused) not in ("0", "false")
+        self._dev_map = None  # lazy DeviceLocalMap
+        self.fused_frames = 0
+        self.staged_frames = 0
+
     # ------------------------------------------------------------------
     # frame construction
     # ------------------------------------------------------------------
@@ -159,6 +175,8 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def track_monocular(self, img, timestamp) -> Optional[np.ndarray]:
+        if self._fused_eligible():
+            return self._track_fused(timestamp, img=img)
         n_feat = 0
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             n_feat = 2 * self.config.orb.n_features  # reference: Tracking.cc:180-182
@@ -167,14 +185,156 @@ class Tracker:
         return self._track(frame)
 
     def track_stereo(self, img_left, img_right, timestamp) -> Optional[np.ndarray]:
+        if self._fused_eligible():
+            return self._track_fused(timestamp, img=img_left,
+                                     img_right=img_right)
         with self.timer.stage("frame_build"):
             frame = self._build_frame(img_left, timestamp, 0, img_right=img_right)
         return self._track(frame)
 
     def track_rgbd(self, img, depth, timestamp) -> Optional[np.ndarray]:
+        if self._fused_eligible():
+            return self._track_fused(timestamp, img=img, depth=depth)
         with self.timer.stage("frame_build"):
             frame = self._build_frame(img, timestamp, 0, depth=depth)
         return self._track(frame)
+
+    # ------------------------------------------------------------------
+    # fused steady-state frame path (round 5)
+    # ------------------------------------------------------------------
+
+    def _fused_eligible(self) -> bool:
+        return (self.use_fused
+                and self.state == TrackingState.OK
+                and not self.localization_only
+                and self.velocity is not None
+                and self.last_frame is not None
+                and self.frame_id >= self.last_reloc_frame_id + 2)
+
+    def _track_fused(self, timestamp, img=None, img_right=None, depth=None):
+        """One-dispatch frame: two-stage tracking against the device-
+        resident local map (models/slam_step.fused_*_frame +
+        frontend/device_map.DeviceLocalMap). Falls back to the staged
+        state machine — on the SAME extracted frame, no re-extraction —
+        whenever the local map is too thin or the inlier gate fails."""
+        from ..models.slam_step import (fused_mono_frame, fused_rgbd_frame,
+                                        fused_stereo_frame)
+        with self.map_lock:
+            # local-map set from the last frame's final associations (the
+            # staged path derives it from the current frame post-motion-
+            # model; consecutive sets nearly coincide)
+            kf_ids, ref_kf = self.map.local_keyframes(self.last_frame.mp)
+            mp_ids = (self.map.points_of_keyframes(kf_ids)
+                      if kf_ids.size else np.empty(0, np.int64))
+            if mp_ids.size < 50:
+                self.staged_frames += 1
+                frame = self._build_frame(img, timestamp, 0,
+                                          img_right=img_right, depth=depth)
+                return self._track(frame)
+            self.fused_frames += 1
+            mp_ids = counters.keep_best_observed(
+                mp_ids, self.map.mp_n_obs, LOCAL_MP_CAP, "tracking.local_map")
+            if self._dev_map is None:
+                from .device_map import DeviceLocalMap
+                self._dev_map = DeviceLocalMap(LOCAL_MP_CAP)
+            with self.timer.stage("map_refresh"):
+                self._dev_map.refresh(self.map, mp_ids)
+
+            Tcw_pred = se3_renormalize_np(
+                (self.velocity @ self.last_frame.Tcw).astype(np.float32))
+            dm = self._dev_map
+            cam, orb = self.config.camera, self.config.orb
+            with self.timer.stage("fused_frame"):
+                if img_right is not None:
+                    out = fused_stereo_frame(
+                        jnp.asarray(img, jnp.float32),
+                        jnp.asarray(img_right, jnp.float32),
+                        jnp.asarray(Tcw_pred), dm.d_packed, dm.d_desc,
+                        dm.d_valid, orb, cam, float(self.th_depth))
+                elif depth is not None:
+                    out = fused_rgbd_frame(
+                        jnp.asarray(img, jnp.float32),
+                        jnp.asarray(depth, jnp.float32),
+                        jnp.asarray(Tcw_pred), dm.d_packed, dm.d_desc,
+                        dm.d_valid, orb, cam, float(self.th_depth))
+                else:
+                    out = fused_mono_frame(
+                        jnp.asarray(img, jnp.float32), jnp.asarray(Tcw_pred),
+                        dm.d_packed, dm.d_desc, dm.d_valid, orb, cam)
+                bundle, desc_dev, tcw_stats, visible = out
+                # ONE blocking bundle pull + two small pulls
+                b = np.asarray(bundle)
+                ts_ = np.asarray(tcw_stats)
+                vis = np.asarray(visible)
+
+            frame = self._frame_from_fused(timestamp, b, desc_dev, ts_)
+            stats = ts_[16:21].astype(np.int64)
+            n_in = int(stats[0])
+            frame.ref_kf = int(ref_kf)
+
+            # visibility/found bookkeeping (reference: Tracking.cc
+            # 1880-1930 IncreaseVisible on in-frustum points)
+            seen = vis & (dm.slot_mp >= 0)
+            self.map.increase_visible(dm.slot_mp[seen])
+
+            min_inliers = 50 if frame.frame_id < self.last_reloc_frame_id + int(self.config.fps) else 30
+            if _DBG:
+                _dbg(f"fused: mps={mp_ids.size} up={dm.last_rows_uploaded} "
+                     f"in1={int(stats[4])} inliers={n_in} (need {min_inliers})")
+            if n_in < min_inliers:
+                # fused gate failed: run the staged cascade on this frame
+                frame.ensure_desc()
+                frame.mp[:] = -1
+                frame.is_outlier[:] = False
+                return self._track_locked(frame)
+
+            return self._finish_tracked_frame(frame)
+
+    def _frame_from_fused(self, timestamp, b, desc_dev, ts_) -> FrameData:
+        """Decode the packed device bundle into a FrameData. Columns:
+        [x, y, ur, depth, response, angle, octave, valid, slot, inlier]."""
+        slot = b[:, 8].astype(np.int32)
+        has = slot >= 0
+        mp = np.where(has, self._dev_map.slot_mp[np.maximum(slot, 0)],
+                      -1).astype(np.int32)
+        inl = b[:, 9] > 0.5
+        f = FrameData(
+            frame_id=self.frame_id,
+            timestamp=timestamp,
+            xy=np.ascontiguousarray(b[:, 0:2]),
+            response=np.ascontiguousarray(b[:, 4]),
+            octave=b[:, 6].astype(np.int32),
+            angle=np.ascontiguousarray(b[:, 5]),
+            desc=desc_dev,          # device ref; ensure_desc() pulls lazily
+            valid=b[:, 7] > 0.5,
+            ur=np.ascontiguousarray(b[:, 2]),
+            depth=np.ascontiguousarray(b[:, 3]),
+            Tcw=np.ascontiguousarray(ts_[:16].reshape(4, 4)),
+            mp=mp,
+        )
+        f.is_outlier = (mp >= 0) & ~inl
+        self.frame_id += 1
+        return f
+
+    def _finish_tracked_frame(self, frame: FrameData):
+        """Post-success bookkeeping shared with the staged path's tail
+        (velocity update, keyframe decision, outlier drop, trajectory)."""
+        self.state = TrackingState.OK
+        self._lost_streak = 0
+        matched = (frame.mp >= 0) & ~frame.is_outlier
+        self.map.increase_found(frame.mp[matched])
+        if self.last_frame is not None and self.last_frame.Tcw is not None:
+            Twc_last = se3_inverse_np(self.last_frame.Tcw)
+            self.velocity = se3_renormalize_np(frame.Tcw @ Twc_last)
+        if not self.localization_only and self._need_new_keyframe(frame):
+            with self.timer.stage("create_keyframe"):
+                frame.ensure_desc()
+                self._create_new_keyframe(frame)
+        frame.mp[frame.is_outlier] = -1
+        frame.is_outlier[:] = False
+        self._log_trajectory(frame, lost=False)
+        self.last_frame = frame
+        return frame.Tcw
 
     # ------------------------------------------------------------------
     # main state machine (reference: Tracking::Track, Tracking.cc:428-790)
@@ -298,6 +458,8 @@ class Tracker:
         self.last_kf_id = -1
         self.last_kf_frame_id = -1
         self.trajectory.clear()
+        if self._dev_map is not None:
+            self._dev_map.invalidate()
         if self.local_mapper is not None:
             self.local_mapper.reset()
 

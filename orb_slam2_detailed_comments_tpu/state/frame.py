@@ -41,6 +41,14 @@ class FrameData:
         if self.is_outlier is None:
             self.is_outlier = np.zeros(n, bool)
 
+    def ensure_desc(self) -> None:
+        """Materialize the descriptor block on the host. The fused frame
+        path (frontend/tracking._track_fused) leaves `desc` as a device
+        array — it is only needed on keyframe creation or staged fallback,
+        so the 64 KB pull is paid on those frames only."""
+        if not isinstance(self.desc, np.ndarray):
+            self.desc = np.asarray(self.desc)
+
     @property
     def capacity(self) -> int:
         return self.xy.shape[0]

@@ -253,3 +253,56 @@ def loop_trajectory(n_frames: int, path_radius: float = 2.0,
         T[:3, 3] = t
         poses.append(T)
     return np.stack(poses)
+
+
+def route_trajectory(n_frames: int, radius: float, r_out: float = 0.5,
+                     r_in: float = 0.28, y_amp_frac: float = 0.02,
+                     retrace_frac: float = 0.12):
+    """KITTI-00-class ROUTE (not a plain circle): four phases inside a
+    CylinderWorld of `radius` —
+
+      P1 (20%): lap at r_out*radius           -> first loop closure
+      P2 (25%): spiral in to r_in*radius       (exploration: new scales)
+      P3 (20%): lap at r_in*radius             -> second loop closure
+      P4 (35%): spiral back out; the final `retrace_frac` of the route
+                re-traverses P1's azimuths at r_out -> third loop closure
+
+    The changing orbit radius makes revisited azimuths appear at different
+    scales, so keyframe culling cannot collapse the route onto one ring —
+    live keyframes accumulate into the hundreds (the scale regime of
+    OptimizeEssentialGraph on KITTI 00, reference Optimizer.cc:1050-1381).
+    Gentle height modulation adds viewpoint diversity. Returns (N,4,4)
+    world->cam poses with radial (outward) viewing like loop_trajectory.
+    """
+    t = np.arange(n_frames, dtype=np.float64) / max(n_frames - 1, 1)
+    # azimuth: 4 laps total, with the last retrace_frac matching P1 angles
+    phi = 2 * np.pi * 4.0 * t
+
+    def smoothstep(x):
+        x = np.clip(x, 0.0, 1.0)
+        return x * x * (3 - 2 * x)
+
+    b1, b2, b3 = 0.20, 0.45, 0.65
+    r = np.empty_like(t)
+    r[:] = r_out
+    m = (t >= b1) & (t < b2)          # spiral in
+    r[m] = r_out + (r_in - r_out) * smoothstep((t[m] - b1) / (b2 - b1))
+    m = (t >= b2) & (t < b3)          # inner lap
+    r[m] = r_in
+    m = t >= b3                       # spiral out
+    r[m] = r_in + (r_out - r_in) * smoothstep((t[m] - b3) / (1.0 - b3 - retrace_frac * 0.5))
+    r = np.clip(r, min(r_in, r_out), max(r_in, r_out)) * radius
+    y = y_amp_frac * radius * np.sin(2 * np.pi * 3.0 * t)
+
+    poses = []
+    for i in range(n_frames):
+        s, c = np.sin(phi[i]), np.cos(phi[i])
+        Rwc = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]],
+                       np.float32)
+        C = np.array([r[i] * s, y[i], r[i] * c], np.float32)
+        Rcw = Rwc.T
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rcw
+        T[:3, 3] = -Rcw @ C
+        poses.append(T)
+    return np.stack(poses)

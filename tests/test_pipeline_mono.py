@@ -71,3 +71,25 @@ class TestMonoPipeline:
             if k == ms.origin_kf:
                 continue
             assert ms.parent[k] >= 0 or ms.covis[k].max() > 0
+
+
+class TestFusedMonoPipeline:
+    """Fused steady-state frame path (round 5), monocular variant: one
+    device dispatch per frame against the device-resident local map."""
+
+    @pytest.fixture(scope="class")
+    def fused_result(self):
+        import os
+        os.environ["ORB_FUSED_TRACK"] = "1"
+        try:
+            return run_mono_sequence()
+        finally:
+            del os.environ["ORB_FUSED_TRACK"]
+
+    def test_fused_tracks_with_bounded_ate(self, fused_result):
+        tracker, ms, est, gt, n_tracked = fused_result
+        assert tracker.fused_frames >= 10, (
+            f"fused={tracker.fused_frames} staged={tracker.staged_frames}")
+        assert n_tracked > 25, f"only {n_tracked} frames tracked"
+        ate = ate_rmse(est, gt, with_scale=True)
+        assert ate < 0.05, f"fused mono ATE {ate:.4f} m"

@@ -70,3 +70,27 @@ class TestRgbdPipeline:
         # reload and check the store round-trips
         slam.load_map(str(tmp_path / "map.npz"))
         assert slam.map.n_keyframes() > 0
+
+
+class TestFusedRgbdPipeline:
+    """Fused steady-state frame path (round 5), RGB-D variant (depth map
+    consumed on device by fused_rgbd_frame; th2=3 parity)."""
+
+    @pytest.fixture(scope="class")
+    def fused_result(self):
+        import os
+        os.environ["ORB_FUSED_TRACK"] = "1"
+        try:
+            return run_rgbd_sequence()
+        finally:
+            del os.environ["ORB_FUSED_TRACK"]
+
+    def test_fused_tracks_with_bounded_ate(self, fused_result):
+        slam, est, gt, n_tracked = fused_result
+        trk = slam.tracker
+        assert trk.fused_frames >= 10, (
+            f"fused={trk.fused_frames} staged={trk.staged_frames}")
+        assert n_tracked >= 22, f"tracked {n_tracked}"
+        from orb_slam2_detailed_comments_tpu.evaluation.ate import ate_rmse
+        ate = ate_rmse(est, gt, with_scale=False)
+        assert ate < 0.05, f"fused RGB-D ATE {ate:.4f} m"

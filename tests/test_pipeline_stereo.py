@@ -113,3 +113,38 @@ class TestSadPallasPath:
                                cam, orb)
         np.testing.assert_array_equal(np.asarray(ur0), np.asarray(ur1))
         np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+class TestFusedStereoPipeline:
+    """The fused steady-state frame path (round 5: ONE device dispatch per
+    frame against the device-resident local map, frontend/tracking
+    _track_fused + frontend/device_map) must track the same sequence the
+    staged path tracks, with comparable accuracy."""
+
+    @pytest.fixture(scope="class")
+    def fused_result(self):
+        import os
+        os.environ["ORB_FUSED_TRACK"] = "1"
+        try:
+            return run_stereo_sequence()
+        finally:
+            del os.environ["ORB_FUSED_TRACK"]
+
+    def test_fused_path_taken(self, fused_result):
+        slam, est, gt, n_tracked = fused_result
+        trk = slam.tracker
+        assert trk.fused_frames >= 10, (
+            f"fused={trk.fused_frames} staged={trk.staged_frames}")
+
+    def test_tracks_and_ate(self, fused_result):
+        slam, est, gt, n_tracked = fused_result
+        assert n_tracked >= 19, f"tracked {n_tracked}"
+        ate = ate_rmse(est, gt, with_scale=False)
+        assert ate < 0.05, f"fused stereo ATE {ate:.4f} m"
+
+    def test_delta_updates_small_between_keyframes(self, fused_result):
+        """Steady-state frames must not re-upload the whole pad."""
+        slam, est, gt, n_tracked = fused_result
+        dm = slam.tracker._dev_map
+        assert dm is not None
+        assert dm.full_uploads == 0, f"{dm.full_uploads} full re-uploads"
