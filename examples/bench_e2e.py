@@ -66,7 +66,14 @@ def run_e2e(n_frames=500, sensor="stereo", progress=True, radius=50.0,
                              width=width, height=height,
                              bf=fx * baseline if stereo else 0.0),
         orb=OrbConfig(n_features=features, max_keypoints=kp_cap),
-        fps=10.0, th_depth=40.0,
+        # th_depth: close/far boundary in baselines (KITTI yaml: 35 at
+        # b=0.537 m -> ~19 m, which covers most of KITTI's urban
+        # structure). This world's wall sits ~0.5*radius from the orbit;
+        # 60 baselines (= 0.72*radius) covers it the same way. At 40 the
+        # whole scene counted as "far" and the reference's
+        # close-point keyframe heuristic (Tracking.cc:1599-1616) fired on
+        # 86% of frames — a world artifact, not a policy difference.
+        fps=10.0, th_depth=60.0,
         max_keyframes=1024, max_map_points=200000)
     sen = Sensor.STEREO if stereo else Sensor.MONOCULAR
     slam = System(cfg, sen, enable_loop_closing=True,
@@ -90,19 +97,31 @@ def run_e2e(n_frames=500, sensor="stereo", progress=True, radius=50.0,
         else:
             frames.append((L,))
 
+    # double-buffered device staging: frame i+1's images are committed to
+    # the device (async put) while frame i computes — the camera-DMA
+    # analog. Through the axon tunnel the upload alone is ~38 ms at KITTI
+    # geometry (~25 MB/s); on production hardware PCIe makes it ~0.06 ms.
+    import jax.numpy as jnp
+
+    def _stage(fr):
+        return tuple(jnp.asarray(a) for a in fr)
+
     lat = []
     n_ok = 0
     t_run0 = time.perf_counter()
+    staged = _stage(frames[0])
     for i, fr in enumerate(frames):
         t0 = time.perf_counter()
+        cur, staged = staged, (_stage(frames[i + 1])
+                               if i + 1 < n_frames else None)
         if stereo:
-            Tcw = slam.track_stereo(fr[0], fr[1], i * 0.1)
+            Tcw = slam.track_stereo(cur[0], cur[1], i * 0.1)
         else:
-            Tcw = slam.track_monocular(fr[0], i * 0.1)
+            Tcw = slam.track_monocular(cur[0], i * 0.1)
         lat.append(time.perf_counter() - t0)
         if Tcw is not None and slam.tracking_state == TrackingState.OK:
             n_ok += 1
-        if progress and i % 50 == 0:
+        if progress and i % int(os.environ.get("E2E_PROGRESS_EVERY", "50")) == 0:
             print(f"frame {i}/{n_frames} state={slam.tracking_state.name} "
                   f"kfs={slam.map.n_keyframes()} "
                   f"lat={1e3 * lat[-1]:.1f}ms", flush=True)

@@ -84,6 +84,10 @@ class AsyncLocalMapper:
 
     # queue management --------------------------------------------------
 
+    def queue_len(self) -> int:
+        """Backlog size (reference KeyframesInQueue, LocalMapping.cc)."""
+        return self.queue.qsize()
+
     def accept_keyframes(self) -> bool:
         """Back-pressure signal (reference: LocalMapping::AcceptKeyFrames /
         KeyframesInQueue < 3, Tracking.cc:1703-1737)."""

@@ -20,7 +20,7 @@ from typing import List, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..geometry.triangulate import triangulate_dlt
+from ..geometry.triangulate import triangulate_dlt, triangulate_dlt_np  # noqa: F401 (triangulate_dlt kept for bench_host record/replay stubs)
 from ..ops import matching as M
 from ..optim.local_ba import BAProblem, local_bundle_adjustment
 from ..optim.global_ba import global_bundle_adjustment
@@ -267,10 +267,24 @@ class LocalMapper:
         # off-lock local-BA merges discarded because a loop correction /
         # GBA merge moved the map during the solve (async mode only)
         self.n_ba_stale = 0
+        # device-resident keyframe store + one-dispatch fuse/triangulation
+        # kernels (round 5; backend/device_kf.py). Default ON — the eager
+        # per-target path cost hundreds of device round trips per keyframe
+        # on TPU; ORB_DEVKF=0 restores it for A/B.
+        self.use_dev_kf = os.environ.get("ORB_DEVKF", "1") not in ("0", "false")
+        self._dev_kf = None
+
+    def _kf_store(self):
+        if self._dev_kf is None:
+            from .device_kf import DeviceKeyframeStore
+            self._dev_kf = DeviceKeyframeStore(self.config.orb.max_keypoints)
+        return self._dev_kf
 
     def reset(self):
         self.recent_points.clear()
         self.kf_counter = 0
+        if self._dev_kf is not None:
+            self._dev_kf.clear()
 
     # ------------------------------------------------------------------
 
@@ -351,6 +365,12 @@ class LocalMapper:
         ratio_factor = 1.5 * cfg.orb.scale_factor
         sigma2 = (self.scale_factors ** 2).astype(np.float32)
 
+        # host pass: per-neighbor eligibility + epipolar geometry (numpy;
+        # reference :357-392). The expensive epipolar search then runs as
+        # ONE batched device dispatch over all eligible neighbors
+        # (device_kf.py) instead of an eager composite per neighbor.
+        from . import device_kf as DK
+        elig, F12s, epis = [], [], []
         for kf2 in neighbors:
             T2 = mp.kf_Tcw[kf2]
             O2 = mp.kf_camera_center(kf2)
@@ -374,7 +394,9 @@ class LocalMapper:
                 if med_depth <= 0 or baseline / med_depth < 0.01:
                     continue
 
-            F12 = M.compute_fundamental(jnp.asarray(T1), jnp.asarray(T2), jnp.asarray(K), jnp.asarray(K))
+            F12 = DK.compute_fundamental_np(
+                T1.astype(np.float32), T2.astype(np.float32),
+                K.astype(np.float32), K.astype(np.float32))
             # epipole of cam1 in image 2
             pc = T2[:3, :3] @ O1 + T2[:3, 3]
             if abs(pc[2]) < 1e-6:
@@ -382,18 +404,20 @@ class LocalMapper:
             else:
                 epipole = np.array([cam.fx * pc[0] / pc[2] + cam.cx,
                                     cam.fy * pc[1] / pc[2] + cam.cy], np.float32)
+            elig.append(int(kf2))
+            F12s.append(F12)
+            epis.append(epipole)
 
-            has_mp2 = mp.kf_mp[kf2] >= 0
-            m = M.search_for_triangulation(
-                jnp.asarray(mp.kf_xy[kf]), jnp.asarray(mp.kf_desc[kf]),
-                jnp.asarray(mp.kf_kp_valid[kf]), jnp.asarray(mp.kf_octave[kf]),
-                jnp.asarray(mp.kf_angle[kf]), jnp.asarray(has_mp1),
-                jnp.asarray(mp.kf_xy[kf2]), jnp.asarray(mp.kf_desc[kf2]),
-                jnp.asarray(mp.kf_kp_valid[kf2]), jnp.asarray(mp.kf_octave[kf2]),
-                jnp.asarray(mp.kf_angle[kf2]), jnp.asarray(has_mp2),
-                F12, jnp.asarray(epipole), jnp.asarray(sigma2))
-            ok = np.asarray(m.ok)
-            idx2 = np.asarray(m.idx)
+        if not elig:
+            mp.update_connections(kf)
+            return
+        matches = self._triangulation_matches(kf, elig, F12s, epis, has_mp1,
+                                              sigma2)
+
+        for t, kf2 in enumerate(elig):
+            T2 = mp.kf_Tcw[kf2]
+            O2 = mp.kf_camera_center(kf2)
+            ok, idx2 = matches[t]
             if not ok.any():
                 continue
 
@@ -426,9 +450,9 @@ class LocalMapper:
 
             P1 = K @ T1[:3, :]
             P2 = K @ T2[:3, :]
-            pts = np.asarray(triangulate_dlt(
-                jnp.asarray(P1, jnp.float32), jnp.asarray(P2, jnp.float32),
-                jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32)))
+            pts = triangulate_dlt_np(
+                P1.astype(np.float32), P2.astype(np.float32),
+                uv1.astype(np.float32), uv2.astype(np.float32))
             # fall back to stereo unprojection when rays are too parallel
             if not self.monocular:
                 bp1 = self._unproject(kf, i1)
@@ -488,6 +512,62 @@ class LocalMapper:
                       f"g_998={int((cos_rays < 0.9998).sum())}", flush=True)
         mp.update_connections(kf)
 
+    def _triangulation_matches(self, kf: int, elig, F12s, epis, has_mp1,
+                               sigma2):
+        """Epipolar search of `kf` against all eligible neighbors.
+
+        Batched path (default): one jitted lax.map dispatch per <=32-lane
+        chunk over the device-resident keyframe store
+        (device_kf.triangulation_search_kernel) — the eager per-neighbor
+        composite (ORB_DEVKF=0) cost ~30 single-op device round trips per
+        neighbor. Returns [(ok (N,), idx (N,))] per eligible neighbor."""
+        mp = self.map
+        if not self.use_dev_kf:
+            out = []
+            for kf2, F12, epi in zip(elig, F12s, epis):
+                m = M.search_for_triangulation(
+                    jnp.asarray(mp.kf_xy[kf]), jnp.asarray(mp.kf_desc[kf]),
+                    jnp.asarray(mp.kf_kp_valid[kf]),
+                    jnp.asarray(mp.kf_octave[kf]),
+                    jnp.asarray(mp.kf_angle[kf]), jnp.asarray(has_mp1),
+                    jnp.asarray(mp.kf_xy[kf2]), jnp.asarray(mp.kf_desc[kf2]),
+                    jnp.asarray(mp.kf_kp_valid[kf2]),
+                    jnp.asarray(mp.kf_octave[kf2]),
+                    jnp.asarray(mp.kf_angle[kf2]),
+                    jnp.asarray(mp.kf_mp[kf2] >= 0),
+                    jnp.asarray(F12), jnp.asarray(epi), jnp.asarray(sigma2))
+                out.append((np.asarray(m.ok), np.asarray(m.idx)))
+            return out
+
+        from . import device_kf as DK
+        store = self._kf_store()
+        row1 = store.row_of(mp, kf)
+        rows2 = np.asarray([store.row_of(mp, k) for k in elig], np.int32)
+        out = []
+        for c0 in range(0, len(elig), 32):
+            hi = min(c0 + 32, len(elig))
+            n = hi - c0
+            b, lane_valid = DK.pad_lanes(n)
+            rows_p = np.zeros(b, np.int32)
+            rows_p[:n] = rows2[c0:hi]
+            F_p = np.zeros((b, 3, 3), np.float32)
+            F_p[:n] = np.stack(F12s[c0:hi])
+            e_p = np.zeros((b, 2), np.float32)
+            e_p[:n] = np.stack(epis[c0:hi])
+            hm2 = np.zeros((b, store.N), bool)
+            for i, kf2 in enumerate(elig[c0:hi]):
+                hm2[i] = mp.kf_mp[kf2] >= 0
+            ok_b, idx_b = DK.triangulation_search_kernel(
+                row1, jnp.asarray(has_mp1), jnp.asarray(rows_p),
+                jnp.asarray(hm2), jnp.asarray(F_p), jnp.asarray(e_p),
+                jnp.asarray(lane_valid), store.d_xy, store.d_desc,
+                store.d_valid, store.d_octave, store.d_angle,
+                jnp.asarray(sigma2))
+            ok_b = np.asarray(ok_b)
+            idx_b = np.asarray(idx_b)
+            out.extend((ok_b[i], idx_b[i]) for i in range(n))
+        return out
+
     def _unproject(self, kf: int, idxs) -> np.ndarray:
         cam = self.config.camera
         mp = self.map
@@ -520,12 +600,25 @@ class LocalMapper:
         cur_pts = mp.kf_mp[kf]
         cur_pts = np.unique(cur_pts[cur_pts >= 0])
         cur_pts = cur_pts[mp.mp_valid[cur_pts]]
-        # forward: fuse current KF's points into each target
-        for t in targets:
-            self._fuse(t, cur_pts)
-        # backward: fuse all targets' points into the current KF
         fuse_pts = mp.points_of_keyframes(np.asarray(targets, np.int64)) if targets else np.empty(0, np.int64)
-        self._fuse(kf, fuse_pts)
+        if self.use_dev_kf:
+            # forward: fuse the SHARED current-KF point pad into every
+            # target — one dispatch per <=32-lane chunk; backward: the
+            # union pad into kf as one single-lane dispatch. Matches are
+            # computed from one map snapshot (the eager path interleaved
+            # bookkeeping between targets); _apply_fuse_matches re-checks
+            # point/slot validity, so a merge from an earlier lane
+            # degrades to a skipped (next-pass) association, never a
+            # stale write.
+            if targets:
+                self._fuse_batched(targets, cur_pts)
+            self._fuse_batched([kf], fuse_pts)
+        else:
+            # forward: fuse current KF's points into each target
+            for t in targets:
+                self._fuse(t, cur_pts)
+            # backward: fuse all targets' points into the current KF
+            self._fuse(kf, fuse_pts)
 
         touched = mp.kf_mp[kf]
         touched = np.unique(touched[touched >= 0])
@@ -560,8 +653,58 @@ class LocalMapper:
             jnp.asarray(mp.kf_octave[kf]), jnp.asarray(self.scale_factors),
             th=th / 4.0, max_dist=M.TH_LOW, ratio=0.0,
             check_stereo=not self.monocular)
-        ok = np.asarray(m.ok)
-        idx = np.asarray(m.idx)
+        self._apply_fuse_matches(kf, ids, np.asarray(m.ok), np.asarray(m.idx))
+
+    def _fuse_batched(self, kfs, mp_ids: np.ndarray, th: float = 3.0):
+        """Fuse ONE shared point pad into several target keyframes with a
+        single device dispatch per <=32-lane chunk
+        (device_kf.fuse_targets_kernel over the device-resident keyframe
+        store); per-target bookkeeping stays host-side and identical to
+        the eager path."""
+        mp = self.map
+        if mp_ids.size == 0 or not kfs:
+            return
+        from . import device_kf as DK
+        cap = 8192
+        mp_ids = counters.keep_best_observed(mp_ids, mp.mp_n_obs, cap,
+                                             "local_mapping.fuse")
+        pad = cap - mp_ids.size
+        ids = np.pad(mp_ids, (0, pad))
+        pvalid = np.pad(mp.mp_valid[mp_ids], (0, pad))
+        store = self._kf_store()
+        d_pos = jnp.asarray(mp.mp_pos[ids])
+        d_val = jnp.asarray(pvalid)
+        d_nrm = jnp.asarray(mp.mp_normal[ids])
+        d_min = jnp.asarray(mp.mp_min_dist[ids])
+        d_max = jnp.asarray(mp.mp_max_dist[ids])
+        d_desc = jnp.asarray(mp.mp_desc[ids])
+        sf = jnp.asarray(self.scale_factors)
+        for c0 in range(0, len(kfs), 32):
+            chunk = list(kfs[c0:c0 + 32])
+            n = len(chunk)
+            b, lane_valid = DK.pad_lanes(n)
+            rows = np.zeros(b, np.int32)
+            rows[:n] = [store.row_of(mp, int(k)) for k in chunk]
+            Tcws = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+            Tcws[:n] = mp.kf_Tcw[np.asarray(chunk)].astype(np.float32)
+            ok_b, idx_b = DK.fuse_targets_kernel(
+                jnp.asarray(rows), jnp.asarray(Tcws),
+                jnp.asarray(lane_valid), store.d_xy, store.d_ur,
+                store.d_desc, store.d_valid, store.d_octave,
+                d_pos, d_val, d_nrm, d_min, d_max, d_desc, sf,
+                self.config.camera, self.config.orb.n_levels,
+                self.log_scale, th / 4.0, M.TH_LOW, not self.monocular)
+            ok_b = np.asarray(ok_b)
+            idx_b = np.asarray(idx_b)
+            for i, t in enumerate(chunk):
+                self._apply_fuse_matches(int(t), ids, ok_b[i], idx_b[i])
+
+    def _apply_fuse_matches(self, kf: int, ids: np.ndarray, ok: np.ndarray,
+                            idx: np.ndarray):
+        """Host bookkeeping of fuse matches: merge duplicates towards the
+        higher weighted observation count, add plain associations
+        (reference: ORBmatcher::Fuse, ORBmatcher.cc:1219-1279)."""
+        mp = self.map
         okj = np.nonzero(ok)[0]
         src = ids[okj].astype(np.int64)
         tgt = idx[okj].astype(np.int64)

@@ -22,6 +22,7 @@ import os
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..geometry.se3 import se3_inverse, se3_inverse_np, se3_renormalize_np
@@ -245,27 +246,35 @@ class Tracker:
             dm = self._dev_map
             cam, orb = self.config.camera, self.config.orb
             with self.timer.stage("fused_frame"):
+                # ship images in their NATIVE dtype (uint8 input stays
+                # uint8 — 4x fewer bytes through the device tunnel; the
+                # fused programs cast to f32 on device, riding the first
+                # fusion). Host-casting to f32 here cost ~75 ms/frame at
+                # KITTI geometry in the round-5 e2e measurement.
                 if img_right is not None:
-                    out = fused_stereo_frame(
-                        jnp.asarray(img, jnp.float32),
-                        jnp.asarray(img_right, jnp.float32),
+                    # jnp.stack accepts host OR device arrays: callers may
+                    # pre-stage images on device a frame ahead (the
+                    # camera-DMA analog; the tunnel uploads 0.93 MB at
+                    # ~25 MB/s, so overlapping transfer with compute is
+                    # worth ~38 ms/frame at KITTI geometry)
+                    blob, desc_dev = fused_stereo_frame(
+                        jnp.stack([jnp.asarray(img),
+                                   jnp.asarray(img_right)]),
                         jnp.asarray(Tcw_pred), dm.d_packed, dm.d_desc,
                         dm.d_valid, orb, cam, float(self.th_depth))
                 elif depth is not None:
-                    out = fused_rgbd_frame(
-                        jnp.asarray(img, jnp.float32),
-                        jnp.asarray(depth, jnp.float32),
+                    blob, desc_dev = fused_rgbd_frame(
+                        jnp.asarray(img), jnp.asarray(depth, jnp.float32),
                         jnp.asarray(Tcw_pred), dm.d_packed, dm.d_desc,
                         dm.d_valid, orb, cam, float(self.th_depth))
                 else:
-                    out = fused_mono_frame(
-                        jnp.asarray(img, jnp.float32), jnp.asarray(Tcw_pred),
+                    blob, desc_dev = fused_mono_frame(
+                        jnp.asarray(img), jnp.asarray(Tcw_pred),
                         dm.d_packed, dm.d_desc, dm.d_valid, orb, cam)
-                bundle, desc_dev, tcw_stats, visible = out
-                # ONE blocking bundle pull + two small pulls
-                b = np.asarray(bundle)
-                ts_ = np.asarray(tcw_stats)
-                vis = np.asarray(visible)
+                # ONE blocking pull for the whole host bundle
+                from ..models.slam_step import unpack_host_blob
+                b, ts_, vis = unpack_host_blob(
+                    np.asarray(blob), self.config.orb.max_keypoints)
 
             frame = self._frame_from_fused(timestamp, b, desc_dev, ts_)
             stats = ts_[16:21].astype(np.int64)
@@ -901,7 +910,14 @@ class Tracker:
         # ever close). When almost no reference points are mature, fall
         # back to counting all its valid points; this restores the paper's
         # "insert generously, cull later" policy on young/fast segments.
-        if min_obs == 3 and ref_tracked < 30:
+        # MONOCULAR ONLY: stereo/RGB-D keyframes spawn hundreds of
+        # depth points whose weighted count starts at 2, so this fallback
+        # counted them all, inflated ref_tracked ~3x over the matchable
+        # set and locked c2 on — a measured keyframe-on-87%-of-frames
+        # cascade in the round-5 e2e run. Stereo's generous-insertion
+        # mechanism is the close-point rule (reference :1671-1692), not
+        # this guard.
+        if min_obs == 3 and ref_tracked < 30 and self.sensor == Sensor.MONOCULAR:
             ref_tracked = int(ref_mps.size)
 
         matched = (frame.mp >= 0) & ~frame.is_outlier
@@ -932,12 +948,23 @@ class Tracker:
         c1c = self.sensor != Sensor.MONOCULAR and (
             n_matches < ref_tracked * 0.25 or need_close)
         c2 = (n_matches < ref_tracked * th_ratio or need_close) and n_matches > 15
+        if _DBG:
+            tc = locals().get("tracked_close", -1)
+            uc = locals().get("untracked_close", -1)
+            _dbg(f"NNKf f={frame.frame_id} ref={ref} n_m={n_matches} "
+                 f"ref_trk={ref_tracked} close(t/u)=({tc}/{uc}) "
+                 f"need_close={need_close} c1a={c1a} c1c={c1c} c2={c2}")
         if not ((c1a or c1b or c1c) and c2):
             return False
         if idle:
             return True
-        # mapping busy: mono never queues; stereo/RGBD queue if short
-        return self.sensor != Sensor.MONOCULAR
+        # mapping busy: mono never queues; stereo/RGBD queue only while
+        # the backlog is short (reference Tracking.cc:1744-1760 —
+        # KeyframesInQueue()<3; without this gate the stereo queue grew
+        # without bound and async backpressure never throttled the
+        # round-5 keyframe cascade)
+        qlen = getattr(self.local_mapper, "queue_len", lambda: 0)()
+        return self.sensor != Sensor.MONOCULAR and qlen < 3
 
     def _create_new_keyframe(self, frame: FrameData):
         """reference: Tracking::CreateNewKeyFrame (Tracking.cc:1753-1870)."""

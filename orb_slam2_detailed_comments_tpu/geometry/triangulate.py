@@ -45,6 +45,32 @@ def triangulate_dlt(P1, P2, uv1, uv2):
     return x[..., :3] / w[..., None]
 
 
+def triangulate_dlt_np(P1, P2, uv1, uv2):
+    """Host (numpy) twin of triangulate_dlt for bookkeeping call sites with
+    DATA-DEPENDENT batch sizes (local mapping's per-neighbor epipolar
+    candidate counts). Eager jnp here would recompile ~15 tiny TPU programs
+    per unique N and dispatch each through the device tunnel — measured as
+    a per-keyframe compile storm in the round-5 e2e bench. The math is a
+    few hundred 4x4 eigendecompositions; numpy does it in microseconds."""
+    import numpy as np
+    P1 = np.broadcast_to(P1, uv1.shape[:-1] + (3, 4))
+    P2 = np.broadcast_to(P2, uv2.shape[:-1] + (3, 4))
+    rows = [
+        uv1[..., 0:1] * P1[..., 2, :] - P1[..., 0, :],
+        uv1[..., 1:2] * P1[..., 2, :] - P1[..., 1, :],
+        uv2[..., 0:1] * P2[..., 2, :] - P2[..., 0, :],
+        uv2[..., 1:2] * P2[..., 2, :] - P2[..., 1, :],
+    ]
+    A = np.stack(rows, axis=-2).astype(np.float32)
+    A = A / (np.linalg.norm(A, axis=-1, keepdims=True) + 1e-12)
+    AtA = np.swapaxes(A, -1, -2) @ A
+    _, vecs = np.linalg.eigh(AtA)
+    x = vecs[..., :, 0]
+    w = x[..., 3]
+    w = np.where(np.abs(w) < 1e-12, 1e-12, w)
+    return x[..., :3] / w[..., None]
+
+
 def triangulate_midpoint(c1, r1, c2, r2):
     """Midpoint triangulation from camera centers c and unit rays r (..., 3)."""
     # Solve [r1 -r2][a;b] = c2 - c1 in least squares, then midpoint.

@@ -25,6 +25,23 @@ from ..utils.config import OrbConfig
 LOCAL_MP_CAP = 4096
 
 
+def pack_host_blob(bundle, tcw_stats, visible):
+    """Concatenate the per-frame host outputs into ONE flat f32 array so
+    the tracker pays a single device->host round trip (three separate
+    pulls cost ~2 extra tunnel latencies per frame)."""
+    return jnp.concatenate([bundle.reshape(-1), tcw_stats,
+                            visible.astype(jnp.float32)])
+
+
+def unpack_host_blob(blob, n_kp: int):
+    """Host-side split of pack_host_blob: (bundle (N,10), tcw_stats (21,),
+    visible (P,) bool)."""
+    b = blob[: n_kp * 10].reshape(n_kp, 10)
+    ts = blob[n_kp * 10: n_kp * 10 + 21]
+    vis = blob[n_kp * 10 + 21:] > 0.5
+    return b, ts, vis
+
+
 @functools.partial(jax.jit, static_argnames=("orb", "cam"))
 def mono_tracking_step(img, Tcw_pred, mp_pos, mp_normal, mp_min_dist,
                        mp_max_dist, mp_desc, mp_valid, orb: OrbConfig,
@@ -205,21 +222,21 @@ def _two_stage_track(kp, xy_und, ur, depth, Tcw_pred, packed, mp_desc,
 
 @functools.partial(jax.jit,
                    static_argnames=("orb", "cam", "th_depth", "th2"))
-def fused_stereo_frame(img_l, img_r, Tcw_pred, packed, mp_desc, mp_valid,
+def fused_stereo_frame(img_pair, Tcw_pred, packed, mp_desc, mp_valid,
                        orb: OrbConfig, cam: PinholeCamera, th_depth: float,
                        th2: float = 1.0):
     """One-dispatch stereo frame: L/R extraction + SAD stereo matching +
-    two-stage local-map tracking. Returns
-    (bundle (N,10), desc (N,8) device ref, [Tcw(16)+stats(5)], visible)."""
+    two-stage local-map tracking. img_pair: (2, H, W) stacked L/R (ONE
+    host->device transfer; uint8 welcome — the cast to f32 rides the
+    first fusion). Returns (host_blob (see pack_host_blob), desc (N,8)
+    device ref)."""
     from ..ops.orb import extract_orb_batch
     from ..ops.stereo import stereo_match
     from ..ops.orb import Keypoints
 
-    # accept uint8 input (the e2e bench pre-stages frames as uint8 to
-    # quarter the host->device image bytes; cast rides the first fusion)
-    img_l = img_l.astype(jnp.float32)
-    img_r = img_r.astype(jnp.float32)
-    pair = extract_orb_batch(jnp.stack([img_l, img_r]), orb)
+    img_pair = img_pair.astype(jnp.float32)
+    img_l, img_r = img_pair[0], img_pair[1]
+    pair = extract_orb_batch(img_pair, orb)
     kp = Keypoints(*[a[0] for a in pair])
     kp_r = Keypoints(*[a[1] for a in pair])
     ur, depth = stereo_match(kp, kp_r, img_l, img_r, cam, orb)
@@ -227,14 +244,14 @@ def fused_stereo_frame(img_l, img_r, Tcw_pred, packed, mp_desc, mp_valid,
     bundle, tcw_stats, visible = _two_stage_track(
         kp, xy_und, ur, depth, Tcw_pred, packed, mp_desc,
         mp_valid, orb, cam, th_depth, th2, check_stereo=True)
-    return bundle, kp.desc, tcw_stats, visible
+    return pack_host_blob(bundle, tcw_stats, visible), kp.desc
 
 
 @functools.partial(jax.jit, static_argnames=("orb", "cam"))
 def fused_mono_frame(img, Tcw_pred, packed, mp_desc, mp_valid,
                      orb: OrbConfig, cam: PinholeCamera):
     """One-dispatch monocular frame (no stereo channel; close-point stats
-    are zero). Returns the same bundle layout as fused_stereo_frame."""
+    are zero). Returns the same (host_blob, desc) as fused_stereo_frame."""
     img = img.astype(jnp.float32)
     kp = extract_orb(img, orb)
     xy_und = cam.undistort_pixels(kp.xy)
@@ -244,7 +261,7 @@ def fused_mono_frame(img, Tcw_pred, packed, mp_desc, mp_valid,
     bundle, tcw_stats, visible = _two_stage_track(
         kp, xy_und, ur, depth, Tcw_pred, packed, mp_desc,
         mp_valid, orb, cam, th_depth=jnp.inf, th2=1.0, check_stereo=False)
-    return bundle, kp.desc, tcw_stats, visible
+    return pack_host_blob(bundle, tcw_stats, visible), kp.desc
 
 
 @functools.partial(jax.jit,
@@ -265,7 +282,7 @@ def fused_rgbd_frame(img, depth_map, Tcw_pred, packed, mp_desc, mp_valid,
     bundle, tcw_stats, visible = _two_stage_track(
         kp, xy_und, ur, depth, Tcw_pred, packed, mp_desc,
         mp_valid, orb, cam, th_depth, th2, check_stereo=True)
-    return bundle, kp.desc, tcw_stats, visible
+    return pack_host_blob(bundle, tcw_stats, visible), kp.desc
 
 
 def example_tracking_args(orb: OrbConfig = None, cam: PinholeCamera = None,
